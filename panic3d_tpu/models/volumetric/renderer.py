@@ -1,0 +1,412 @@
+"""Hierarchical (coarse + importance) triplane volume renderer, TPU-native.
+
+Role of `src/training/volumetric_rendering/{renderer,ray_marcher,math_utils}.py`.
+
+Design notes (TPU-first):
+- Pure functions over static shapes: the reference's boolean-indexed density
+  overwrites (``densities[mask] = -1e3``, renderer.py:191-198) become
+  ``jnp.where``; ray-validity fixups (renderer.py:167-170) become masked
+  min/max reductions; searchsorted becomes a vectorized compare-and-sum.
+- The decoder is passed in as a callable ``decode_fn(features [N,M,C]) ->
+  (rgb [N,M,32], sigma [N,M,1])`` so the renderer stays model-agnostic and
+  the whole coarse->importance->composite pipeline jits as one program.
+- Rays are embarrassingly parallel: everything here is batched over
+  [N, rays], which is the axis sharded across the device mesh by
+  panic3d_tpu.parallel (the framework's analog of sequence parallelism,
+  SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...ops.grid_sample import grid_sample_2d, grid_sample_3d
+
+
+# ---------------------------------------------------------------------------
+# plane geometry
+
+def generate_plane_axes(use_triplane: bool = False) -> np.ndarray:
+    """The three plane bases (renderer.py:26-50).
+
+    With use_triplane=True the third plane uses the corrected rotation (the
+    EG3D bug-fixed variant); the shipped PAniC-3D model trains with
+    use_triplane=1 (train_eclustrousC.py:192).
+    """
+    third = (
+        [[0, 1, 0], [0, 0, 1], [1, 0, 0]]
+        if use_triplane
+        else [[0, 0, 1], [1, 0, 0], [0, 1, 0]]
+    )
+    return np.asarray(
+        [
+            [[1, 0, 0], [0, 1, 0], [0, 0, 1]],
+            [[1, 0, 0], [0, 0, 1], [0, 1, 0]],
+            third,
+        ],
+        dtype=np.float32,
+    )
+
+
+def project_onto_planes(plane_axes: np.ndarray, coordinates: jax.Array) -> jax.Array:
+    """[N,M,3] -> [N,3,M,3] plane-local coordinates (renderer.py:52-66)."""
+    inv = jnp.asarray(np.linalg.inv(plane_axes))  # [3,3,3]
+    return jnp.einsum("nmc,pcd->npmd", coordinates, inv)
+
+
+def sample_from_planes(
+    plane_axes: np.ndarray,
+    plane_features: jax.Array,   # [N, 3, C*D, H, W]
+    coordinates: jax.Array,      # [N, M, 3] world coords
+    box_warp: float,
+    triplane_depth: int = 1,
+) -> jax.Array:
+    """Bilinear triplane lookup -> [N, 3, M, C] (renderer.py:68-93)."""
+    N, n_planes, CD, H, W = plane_features.shape
+    M = coordinates.shape[1]
+    coordinates = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coordinates)  # [N,3,M,3]
+
+    if triplane_depth == 1:
+        feats = plane_features.reshape(N * n_planes, CD, H, W)
+        grid = proj[..., :2].reshape(N * n_planes, 1, M, 2)
+        out = grid_sample_2d(feats, grid, padding_mode="zeros")  # [N*3,C,1,M]
+        return out[:, :, 0, :].transpose(0, 2, 1).reshape(N, n_planes, M, CD)
+    C, D = CD // triplane_depth, triplane_depth
+    feats = plane_features.reshape(N * n_planes, C, D, H, W)
+    grid = proj.reshape(N * n_planes, 1, 1, M, 3)
+    out = grid_sample_3d(feats, grid, padding_mode="zeros")  # [N*3,C,1,1,M]
+    return out[:, :, 0, 0, :].transpose(0, 2, 1).reshape(N, n_planes, M, C)
+
+
+# ---------------------------------------------------------------------------
+# math utils (math_utils.py)
+
+def get_ray_limits_box(rays_o, rays_d, box_side_length):
+    """Ray/AABB entry+exit distances; invalid rays get (-1,-2)
+    (math_utils.py:46-98). rays_o/rays_d: [..., 3]."""
+    half = box_side_length / 2
+    inv_d = 1.0 / rays_d
+    t_lo = (-half - rays_o) * inv_d
+    t_hi = (half - rays_o) * inv_d
+    tmin3 = jnp.minimum(t_lo, t_hi)
+    tmax3 = jnp.maximum(t_lo, t_hi)
+    tmin = jnp.max(tmin3, axis=-1)
+    tmax = jnp.min(tmax3, axis=-1)
+    is_valid = tmin <= tmax
+    tmin = jnp.where(is_valid, tmin, -1.0)
+    tmax = jnp.where(is_valid, tmax, -2.0)
+    return tmin[..., None], tmax[..., None], is_valid[..., None]
+
+
+def batched_linspace(start, stop, num: int):
+    """[num, *start.shape] linspace (math_utils.py:101-118)."""
+    steps = jnp.arange(num, dtype=jnp.float32) / (num - 1)
+    steps = steps.reshape((num,) + (1,) * start.ndim)
+    return start[None] + steps * (stop - start)[None]
+
+
+# ---------------------------------------------------------------------------
+# ray marcher (ray_marcher.py:20-63)
+
+def ray_march(colors, densities, depths, white_back: bool):
+    """MipNeRF-style midpoint quadrature compositing.
+
+    colors [B,R,S,C], densities [B,R,S,1], depths [B,R,S,1]
+    -> (composite [B,R,C], depth [B,R,1], weights [B,R,S-1,1]).
+    """
+    deltas = depths[:, :, 1:] - depths[:, :, :-1]
+    colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
+    densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
+    depths_mid = (depths[:, :, :-1] + depths[:, :, 1:]) / 2
+
+    # softplus(x-1): activation bias of -1 improves initialization
+    densities_mid = jax.nn.softplus(densities_mid - 1)
+    density_delta = densities_mid * deltas
+    alpha = 1 - jnp.exp(-density_delta)
+
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[:, :, :1]), 1 - alpha + 1e-10], axis=-2
+    )
+    transmittance = jnp.cumprod(shifted, axis=-2)[:, :, :-1]
+    weights = alpha * transmittance
+
+    composite_rgb = jnp.sum(weights * colors_mid, axis=-2)
+    weight_total = jnp.sum(weights, axis=2)
+    composite_depth = jnp.sum(weights * depths_mid, axis=-2) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(composite_depth, jnp.min(depths), jnp.max(depths))
+
+    if white_back:
+        composite_rgb = composite_rgb + 1 - weight_total
+    composite_rgb = composite_rgb * 2 - 1  # scale to (-1, 1)
+    return composite_rgb, composite_depth, weights
+
+
+# ---------------------------------------------------------------------------
+# density filters (renderer.py:138-153)
+
+def triplane_crop_mask(xyz, thresh, boxwarp, allow_bottom: bool = True):
+    """True where density must be culled (outside the crop box)."""
+    bw, tc = boxwarp, thresh
+    flip = jnp.asarray([-1.0, 1.0, -1.0])
+    xyz = xyz * flip
+    ans = jnp.all(jnp.abs(xyz[..., [0, 2]]) <= (bw / 2 - tc), axis=-1, keepdims=True)
+    if allow_bottom:
+        ans = ans | (
+            (xyz[..., 1:2] <= -(bw / 2 - tc))
+            & jnp.all(jnp.abs(xyz[..., [0, 2]]) <= (bw / 2 - tc), axis=-1, keepdims=True)
+        )
+    return ~ans
+
+
+def cull_clouds_mask(densities, thresh):
+    densities = jax.nn.softplus(densities - 1)
+    alpha = 1 - jnp.exp(-densities)
+    return alpha < thresh
+
+
+def _apply_density_filters(
+    densities, xyz, box_warp, triplane_crop, cull_clouds, binarize_clouds
+):
+    if triplane_crop:
+        cropmask = triplane_crop_mask(xyz, triplane_crop, box_warp)
+        densities = jnp.where(cropmask, -1e3, densities)
+    if binarize_clouds:
+        ccmask = cull_clouds_mask(densities, binarize_clouds)
+        densities = jnp.where(ccmask, -1e3, 1e3)
+    elif cull_clouds:
+        ccmask = cull_clouds_mask(densities, cull_clouds)
+        densities = jnp.where(ccmask, -1e3, densities)
+    return densities
+
+
+# ---------------------------------------------------------------------------
+# sampling
+
+def sample_stratified(
+    ray_origins, ray_start, ray_end, depth_resolution: int,
+    key: Optional[jax.Array] = None,
+    disparity_space_sampling: bool = False,
+):
+    """Jittered uniform depths [N,M,S,1] (renderer.py:303-326).
+
+    ray_start/ray_end may be floats or per-ray [N,M,1] tensors ('auto' mode).
+    key=None -> deterministic midpoints (jitter 0.5) for reproducible eval.
+    """
+    N, M, _ = ray_origins.shape
+    S = depth_resolution
+    if disparity_space_sampling:
+        d = jnp.broadcast_to(
+            jnp.linspace(0, 1, S).reshape(1, 1, S, 1), (N, M, S, 1)
+        )
+        delta = 1 / (S - 1)
+        jitter = (
+            jax.random.uniform(key, d.shape) if key is not None else 0.5
+        )
+        d = d + jitter * delta
+        return 1.0 / (1.0 / ray_start * (1.0 - d) + 1.0 / ray_end * d)
+    if isinstance(ray_start, (int, float)):
+        depths = jnp.broadcast_to(
+            jnp.linspace(ray_start, ray_end, S).reshape(1, 1, S, 1), (N, M, S, 1)
+        )
+        delta = (ray_end - ray_start) / (S - 1)
+        jitter = jax.random.uniform(key, (N, M, S, 1)) if key is not None else 0.5
+        return depths + jitter * delta
+    depths = batched_linspace(ray_start, ray_end, S)  # [S,N,M,1]
+    depths = jnp.transpose(depths, (1, 2, 0, 3))
+    delta = (ray_end - ray_start) / (S - 1)  # [N,M,1]
+    jitter = jax.random.uniform(key, depths.shape) if key is not None else 0.5
+    return depths + jitter * delta[..., None]
+
+
+def _searchsorted_right(cdf, u):
+    """index of first cdf element > u; cdf [R,S], u [R,K] -> [R,K] int32.
+
+    Vectorized compare-and-sum instead of torch.searchsorted: S is small
+    (~samples/ray) so the [R,K,S] compare lowers to pure VPU work without
+    gathers.
+    """
+    return jnp.sum(cdf[:, None, :] <= u[:, :, None], axis=-1).astype(jnp.int32)
+
+
+def sample_pdf(bins, weights, n_importance: int,
+               key: Optional[jax.Array] = None, eps: float = 1e-5):
+    """Inverse-CDF sampling (renderer.py:348-387). bins [R,B], weights [R,B-?]."""
+    R, S = weights.shape
+    weights = weights + eps
+    pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    cdf = jnp.cumsum(pdf, axis=-1)
+    cdf = jnp.concatenate([jnp.zeros_like(cdf[:, :1]), cdf], axis=-1)  # [R,S+1]
+
+    if key is None:
+        u = jnp.broadcast_to(jnp.linspace(0, 1, n_importance), (R, n_importance))
+    else:
+        u = jax.random.uniform(key, (R, n_importance))
+
+    inds = _searchsorted_right(cdf, u)
+    below = jnp.maximum(inds - 1, 0)
+    above = jnp.minimum(inds, S)
+
+    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+    bins_lo = jnp.take_along_axis(bins, below, axis=1)
+    bins_hi = jnp.take_along_axis(bins, above, axis=1)
+
+    denom = cdf_hi - cdf_lo
+    denom = jnp.where(denom < eps, 1.0, denom)
+    return bins_lo + (u - cdf_lo) / denom * (bins_hi - bins_lo)
+
+
+def sample_importance(z_vals, weights, n_importance: int,
+                      key: Optional[jax.Array] = None):
+    """Importance depths from smoothed coarse weights (renderer.py:328-346)."""
+    B, R, S, _ = z_vals.shape
+    z = z_vals.reshape(B * R, S)
+    w = weights.reshape(B * R, -1)
+
+    # max_pool1d(k=2,s=1,p=1) then avg_pool1d(k=2,s=1): smooth the pdf
+    wpad = jnp.pad(w, ((0, 0), (1, 1)), constant_values=-jnp.inf)
+    wmax = jnp.maximum(wpad[:, :-1], wpad[:, 1:])      # [BR, S'+1]
+    wavg = (wmax[:, :-1] + wmax[:, 1:]) / 2            # [BR, S']
+    w = wavg + 0.01
+
+    z_mid = 0.5 * (z[:, :-1] + z[:, 1:])
+    samples = sample_pdf(z_mid, w[:, 1:-1], n_importance, key=key)
+    samples = jax.lax.stop_gradient(samples)
+    return samples.reshape(B, R, n_importance, 1)
+
+
+def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
+    """Concatenate coarse+fine and sort by depth (renderer.py:289-301)."""
+    depths = jnp.concatenate([d1, d2], axis=-2)
+    colors = jnp.concatenate([c1, c2], axis=-2)
+    xyz = jnp.concatenate([x1, x2], axis=-2)
+    densities = jnp.concatenate([s1, s2], axis=-2)
+    idx = jnp.argsort(depths, axis=-2)  # [B,R,S,1]
+
+    def take(a):
+        return jnp.take_along_axis(
+            a, jnp.broadcast_to(idx, idx.shape[:-1] + (a.shape[-1],)), axis=-2
+        )
+
+    return take(depths), take(colors), take(densities), take(xyz)
+
+
+# ---------------------------------------------------------------------------
+# full renderer (renderer.py:156-280)
+
+class RenderOutput(NamedTuple):
+    rgb: jax.Array       # [N, R, C-3] feature image samples
+    depth: jax.Array     # [N, R, 1]
+    weights: jax.Array   # [N, R, 1] accumulated alpha
+    xyz: jax.Array       # [N, R, 3] composited world position
+
+
+def run_model(plane_axes, planes, decode_fn, sample_coordinates,
+              box_warp: float, triplane_depth: int = 1):
+    """Triplane lookup + decoder MLP (renderer.py:266-280)."""
+    feats = sample_from_planes(
+        plane_axes, planes, sample_coordinates, box_warp, triplane_depth
+    )
+    rgb, sigma = decode_fn(feats)
+    return rgb, sigma
+
+
+def render(
+    planes: jax.Array,            # [N, 3, C*D, H, W]
+    decode_fn: Callable,
+    ray_origins: jax.Array,       # [N, R, 3]
+    ray_directions: jax.Array,    # [N, R, 3]
+    options: dict,
+    key: Optional[jax.Array] = None,
+    triplane_crop: Optional[float] = None,
+    cull_clouds: Optional[float] = None,
+    binarize_clouds: Optional[float] = None,
+) -> RenderOutput:
+    """Two-pass hierarchical render (renderer.py:162-264).
+
+    ``options`` carries the reference rendering_kwargs: box_warp, ray_start,
+    ray_end ('auto' supported), depth_resolution,
+    depth_resolution_importance, white_back, use_triplane, triplane_depth,
+    disparity_space_sampling.
+    """
+    plane_axes = generate_plane_axes(options.get("use_triplane", False))
+    box_warp = options["box_warp"]
+    tdepth = options.get("triplane_depth", 1)
+    N = ray_origins.shape[0]
+    R = ray_origins.shape[1]
+
+    k_strat = k_imp = None
+    if key is not None:
+        k_strat, k_imp = jax.random.split(key)
+
+    if options["ray_start"] == options["ray_end"] == "auto":
+        ray_start, ray_end, valid = get_ray_limits_box(
+            ray_origins, ray_directions, box_side_length=box_warp
+        )
+        # invalid rays: start at min valid start, end at max valid start
+        big = jnp.where(valid, ray_start, jnp.inf)
+        small = jnp.where(valid, ray_start, -jnp.inf)
+        ray_start = jnp.where(valid, ray_start, jnp.min(big))
+        ray_end = jnp.where(valid, ray_end, jnp.max(small))
+    else:
+        ray_start, ray_end = options["ray_start"], options["ray_end"]
+
+    depths_coarse = sample_stratified(
+        ray_origins, ray_start, ray_end, options["depth_resolution"],
+        key=k_strat,
+        disparity_space_sampling=options.get("disparity_space_sampling", False),
+    )
+    S = depths_coarse.shape[2]
+
+    def eval_pass(depths):
+        n_samples = depths.shape[2]
+        coords = (
+            ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
+        ).reshape(N, -1, 3)
+        rgb, sigma = run_model(plane_axes, planes, decode_fn, coords, box_warp, tdepth)
+        sigma = _apply_density_filters(
+            sigma, coords, box_warp, triplane_crop, cull_clouds, binarize_clouds
+        )
+        rgb = rgb.reshape(N, R, n_samples, -1)
+        sigma = sigma.reshape(N, R, n_samples, 1)
+        xyz = coords.reshape(N, R, n_samples, 3)
+        return rgb, sigma, xyz
+
+    colors_coarse, densities_coarse, xyz_coarse = eval_pass(depths_coarse)
+
+    n_imp = options["depth_resolution_importance"]
+    if n_imp and n_imp > 0:
+        _, _, weights = ray_march(
+            colors_coarse, densities_coarse, depths_coarse,
+            white_back=options.get("white_back", False),
+        )
+        depths_fine = sample_importance(depths_coarse, weights, n_imp, key=k_imp)
+        colors_fine, densities_fine, xyz_fine = eval_pass(depths_fine)
+        all_depths, all_colors, all_densities, all_xyz = unify_samples(
+            depths_coarse, colors_coarse, densities_coarse, xyz_coarse,
+            depths_fine, colors_fine, densities_fine, xyz_fine,
+        )
+    else:
+        all_depths, all_colors, all_densities, all_xyz = (
+            depths_coarse, colors_coarse, densities_coarse, xyz_coarse,
+        )
+
+    # composite rgb features and xyz together so xyz rides the same weights
+    colors_aug = jnp.concatenate([all_colors, all_xyz], axis=-1)
+    rgb_final, depth_final, weights = ray_march(
+        colors_aug, all_densities, all_depths,
+        white_back=options.get("white_back", False),
+    )
+    return RenderOutput(
+        rgb=rgb_final[..., :-3],
+        depth=depth_final,
+        weights=jnp.sum(weights, axis=2),
+        xyz=rgb_final[..., -3:],
+    )

@@ -1,0 +1,54 @@
+"""Filtered leaky-ReLU: upsample -> bias+lrelu+clamp -> downsample.
+
+Role of the reference CUDA monster `src/torch_utils/ops/filtered_lrelu.*`
+(~1.7k lines of templated kernels). Its only consumer is the StyleGAN3
+alias-free SynthesisLayer, which the shipped PAniC-3D model never
+instantiates (SURVEY.md §2.2), so this is the reference-equivalent
+composition (filtered_lrelu.py:123+): upfirdn2d -> bias_act -> upfirdn2d.
+XLA fuses the elementwise middle into the second conv; no sign buffer is
+needed because autodiff handles the backward.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .bias_act import bias_act
+from .upfirdn2d import upfirdn2d, _parse_padding, _get_filter_size
+
+
+def filtered_lrelu(
+    x,
+    fu=None,
+    fd=None,
+    b=None,
+    up: int = 1,
+    down: int = 1,
+    padding=0,
+    gain: float = float(np.sqrt(2)),
+    slope: float = 0.2,
+    clamp: Optional[float] = None,
+    flip_filter: bool = False,
+):
+    px0, px1, py0, py1 = _parse_padding(padding)
+    fu_w, fu_h = _get_filter_size(fu)
+    fd_w, fd_h = _get_filter_size(fd)
+
+    batch_size, channels, in_h, in_w = x.shape
+    px0 += (fu_w - 1) // 2
+    px1 += fu_w // 2
+    py0 += (fu_h - 1) // 2
+    py1 += fu_h // 2
+    px0 += (fd_w - 1) // 2
+    px1 += fd_w // 2
+    py0 += (fd_h - 1) // 2
+    py1 += fd_h // 2
+
+    x = upfirdn2d(
+        x, fu, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter
+    )
+    x = bias_act(x, b, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
+    x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
+    return x

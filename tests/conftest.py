@@ -1,0 +1,18 @@
+"""Test harness config: run everything on a virtual 8-device CPU mesh.
+
+SURVEY.md §4 ("Multi-node without a cluster"): sharding logic is tested on
+a host-platform device mesh so no TPU is needed. Must run before jax import.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
