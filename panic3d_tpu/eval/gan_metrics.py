@@ -1,0 +1,173 @@
+"""GAN quality metrics: registry + FID/KID math + feature pipelines.
+
+Role of `src/metrics/{metric_main,metric_utils,frechet_inception_distance,
+kernel_inception_distance}.py`: a name->function registry driven by the
+training loop at snapshot time, JSONL result reporting, dataset feature
+-stat caching keyed by content, and the FID/KID statistics.
+
+The reference hardcodes an InceptionV3 TF-pickle as the feature network;
+here the extractor is pluggable (`feature_fn`): converted InceptionV3 or
+CLIP weights when available, any callable [N,3,H,W]->[N,D] otherwise. The
+statistics math is exact (scipy sqrtm for Fréchet; polynomial-kernel MMD
+for KID).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+_metric_registry: Dict[str, Callable] = {}
+
+
+def register_metric(fn: Callable) -> Callable:
+    _metric_registry[fn.__name__] = fn
+    return fn
+
+
+def is_valid_metric(name: str) -> bool:
+    return name in _metric_registry
+
+
+def list_valid_metrics():
+    return sorted(_metric_registry)
+
+
+def calc_metric(metric: str, **kwargs) -> dict:
+    start = time.time()
+    results = _metric_registry[metric](**kwargs)
+    return dict(
+        results={metric: results} if not isinstance(results, dict) else results,
+        metric=metric,
+        total_time=time.time() - start,
+    )
+
+
+def report_metric(result_dict: dict, run_dir: Optional[str] = None,
+                  snapshot_pkl: Optional[str] = None):
+    """metric_main.py:72-84: append one JSONL line per metric."""
+    jsonl = dict(result_dict, snapshot_pkl=snapshot_pkl, timestamp=time.time())
+    line = json.dumps(jsonl, default=float)
+    print(line)
+    if run_dir is not None:
+        with open(
+            os.path.join(run_dir, f"metric-{result_dict['metric']}.jsonl"), "at"
+        ) as f:
+            f.write(line + "\n")
+
+
+# ---------------------------------------------------------------------------
+# statistics
+
+class FeatureStats:
+    """Streaming mean/cov accumulator (metric_utils.FeatureStats role)."""
+
+    def __init__(self, max_items: Optional[int] = None, capture_all=False):
+        self.max_items = max_items
+        self.capture_all = capture_all
+        self.num_items = 0
+        self._all = []
+        self._sum = None
+        self._sumsq = None
+
+    def append(self, x: np.ndarray):
+        x = np.asarray(x, dtype=np.float64)
+        if self.max_items is not None:
+            x = x[: max(self.max_items - self.num_items, 0)]
+        if x.size == 0:
+            return
+        if self.capture_all:
+            self._all.append(x)
+        if self._sum is None:
+            self._sum = np.zeros(x.shape[1])
+            self._sumsq = np.zeros((x.shape[1], x.shape[1]))
+        self._sum += x.sum(axis=0)
+        self._sumsq += x.T @ x
+        self.num_items += len(x)
+
+    @property
+    def is_full(self):
+        return self.max_items is not None and self.num_items >= self.max_items
+
+    def get_mean_cov(self):
+        mean = self._sum / self.num_items
+        cov = self._sumsq / self.num_items - np.outer(mean, mean)
+        return mean, cov
+
+    def get_all(self):
+        return np.concatenate(self._all)
+
+
+def frechet_distance(mu1, cov1, mu2, cov2) -> float:
+    """FID core (frechet_inception_distance.py)."""
+    import scipy.linalg
+
+    m = np.square(mu1 - mu2).sum()
+    s, _ = scipy.linalg.sqrtm(np.dot(cov1, cov2), disp=False)
+    return float(np.real(m + np.trace(cov1 + cov2 - s * 2)))
+
+
+def kid_mmd(feat_real: np.ndarray, feat_gen: np.ndarray, num_subsets=100,
+            max_subset_size=1000, seed=0) -> float:
+    """KID polynomial-kernel MMD (kernel_inception_distance.py)."""
+    rng = np.random.RandomState(seed)
+    n = feat_real.shape[1]
+    m = min(min(feat_real.shape[0], feat_gen.shape[0]), max_subset_size)
+    t = 0.0
+    for _ in range(num_subsets):
+        x = feat_gen[rng.choice(feat_gen.shape[0], m, replace=False)]
+        y = feat_real[rng.choice(feat_real.shape[0], m, replace=False)]
+        a = (x @ x.T / n + 1) ** 3 + (y @ y.T / n + 1) ** 3
+        b = (x @ y.T / n + 1) ** 3
+        t += (a.sum() - np.trace(a)) / (m - 1) - b.sum() * 2 / m
+    return float(t / num_subsets / m)
+
+
+# ---------------------------------------------------------------------------
+# feature-stat cache (metric_utils.py:214-234 role)
+
+def cached_dataset_stats(cache_dir: str, key_parts, compute_fn) -> FeatureStats:
+    key = hashlib.md5(repr(key_parts).encode()).hexdigest()
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"stats-{key}.npz")
+    if os.path.isfile(path):
+        data = np.load(path)
+        st = FeatureStats()
+        st._sum = data["sum"]
+        st._sumsq = data["sumsq"]
+        st.num_items = int(data["num"])
+        return st
+    st = compute_fn()
+    np.savez(path, sum=st._sum, sumsq=st._sumsq, num=st.num_items)
+    return st
+
+
+# ---------------------------------------------------------------------------
+# registered metrics
+
+@register_metric
+def fid50k_full(gen_features: np.ndarray = None, real_features: np.ndarray = None,
+                real_stats: FeatureStats = None, **kwargs) -> dict:
+    """FID between generator and dataset features (metric_main.py:87-92).
+
+    Callers supply features from a pluggable extractor; 50k generated items
+    is the reference protocol."""
+    gs = FeatureStats()
+    gs.append(gen_features)
+    if real_stats is None:
+        real_stats = FeatureStats()
+        real_stats.append(real_features)
+    mu_g, cov_g = gs.get_mean_cov()
+    mu_r, cov_r = real_stats.get_mean_cov()
+    return {"fid50k_full": frechet_distance(mu_r, cov_r, mu_g, cov_g)}
+
+
+@register_metric
+def kid50k_full(gen_features: np.ndarray = None, real_features: np.ndarray = None,
+                **kwargs) -> dict:
+    return {"kid50k_full": kid_mmd(real_features, gen_features)}

@@ -1,0 +1,212 @@
+"""End-to-end inference over the daredemoE_test benchmark.
+
+Role of `_scripts/eval/generate.py`: for each test portrait —
+line-fill (rmline) -> resnet PCA features -> marching-cubes mesh pickle +
+4 ortho views + 12 spin views, saving RGB + xyza PNGs in the reference's
+file layout (temp/eval/<run>/daredemoE/{marching_cubes,ortho,ortho_xyza,
+rgb60,xyza60}/franchise/id/view.png).
+
+Run: python -m panic3d_tpu.eval.generate --ckpt <dir> [--data .]
+Requires the converted flagship checkpoint + the _data/lustrous tree
+(neither ships with the reference repo snapshot; see runtime/checkpoint.py
+for the converter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import numpy as np
+
+INFERENCE_OPTS = dict(
+    triplane_crop=0.1,
+    cull_clouds=0.5,
+    paste_params=dict(
+        mode="default",
+        thresh_weight=0.95,
+        thresh_edges=0.02,
+        thresh_occ=0.05,
+        offset_occ=0.01,
+        thresh_dxyz=0.000005,
+    ),
+)
+
+EVAL_VIEWS = [
+    ("camO", "front", 0, 0, -1),
+    ("camO", "left", 0, 90, -1),
+    ("camO", "right", 0, -90, -1),
+    ("camO", "back", 0, 180, -1),
+]
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from .. import configs
+    from ..cameras.conventions import cam60, camsubs
+    from ..data.databack import DatabackendMinna
+    from ..models.triplane import TriPlaneGenerator
+    from ..runtime.checkpoint import load_checkpoint
+    from ..utils.imglib import Img, from_model_output
+    from .volume import get_volume, marching_cubes
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True, help="converted G_ema checkpoint dir")
+    ap.add_argument("--data", default=".", help="dir containing _data/lustrous")
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--name", default="ecrutileE_eclustrousC_n120-00000-000200")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--subset", default="daredemoE_test")
+    ap.add_argument("--skip-rmline", action="store_true")
+    args = ap.parse_args(argv)
+
+    edn = args.out or f"./temp/eval/{args.name}"
+    variables, config = load_checkpoint(args.ckpt)
+    g = configs.flagship(eval_mode=True, **(config or {}).get("model_kwargs", {}))
+
+    dk = DatabackendMinna(args.data)
+    subset_csv = os.path.join(
+        args.data, "_data", "lustrous", "subsets", f"{args.subset}.csv"
+    )
+    with open(subset_csv) as f:
+        bns = [
+            f"daredemoE/fandom_align/{l.strip()}/front" for l in f if l.strip()
+        ]
+    align_pkl = os.path.join(
+        args.data, "_data", "lustrous", "renders", "daredemoE",
+        "fandom_align_alignment.pkl",
+    )
+    with open(align_pkl, "rb") as f:
+        aligndata = pickle.load(f)
+
+    # aux models
+    rmline = resnet = None
+    if not args.skip_rmline:
+        rmline = _load_rmline(args)
+    resnet = _load_resnet(args)
+
+    bw = g.rk["box_warp"]
+    spin = [
+        ("camP", f"{v:04d}", float(cam60[v][0]), float(cam60[v][1]), 30)
+        for v in camsubs["spin12"]
+    ]
+
+    for bn in bns:
+        x = dk[bn]
+        img = x["image"]
+        if rmline is not None:
+            kpts = _aligned_keypoints(aligndata[bn])
+            rgb = jnp.asarray(img.bg("w").convert("RGB").t())[None]
+            filled, _, _ = rmline(rgb, kpts)
+            img_rmline = np.asarray(filled[0])
+        else:
+            img_rmline = img.bg("w").convert("RGB").t()
+
+        chonk = resnet(jnp.asarray(img.bg("k").convert("RGB").t()))
+        cond = {
+            "image_ortho_front": jnp.asarray(img_rmline)[None],
+            "resnet_chonk": chonk[None, 0],
+        }
+
+        # geometry
+        xin = {"cond": cond, "seeds": [args.seed], **INFERENCE_OPTS}
+        vol = get_volume(g, variables, xin)
+        mc = marching_cubes(vol.densities[0, 0], vol.rgbs[0, :3], bw, level=0.5)
+        fn_march = os.path.join(
+            edn, bn.replace("fandom_align", "marching_cubes") + ".pkl"
+        )
+        os.makedirs(os.path.dirname(fn_march), exist_ok=True)
+        with open(fn_march, "wb") as f:
+            pickle.dump(dict(mc), f)
+
+        # images
+        for cm, cam_view, elev, azim, fov in EVAL_VIEWS + spin:
+            xin = {
+                "elevations": jnp.asarray([float(elev)]),
+                "azimuths": jnp.asarray([float(azim)]),
+                "fovs": jnp.asarray([float(fov)]),
+                "cond": cond,
+                "seeds": [args.seed],
+                **INFERENCE_OPTS,
+            }
+            out = g.apply(
+                variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
+            )
+            sub = "ortho" if cm == "camO" else "rgb60"
+            sub_x = "ortho_xyza" if cm == "camO" else "xyza60"
+            fn_rgb = os.path.join(
+                edn, bn.replace("fandom_align", sub).replace("/front", f"/{cam_view}")
+                + ".png",
+            )
+            fn_xyza = os.path.join(
+                edn,
+                bn.replace("fandom_align", sub_x).replace("/front", f"/{cam_view}")
+                + ".png",
+            )
+            xyza = np.concatenate(
+                [
+                    (np.asarray(out["image_xyz"]) + bw / 2) / bw,
+                    np.asarray(out["image_weights"]),
+                ],
+                axis=1,
+            )
+            from_model_output(out["image"], normalize=False).save(fn_rgb)
+            Img(np.clip(xyza[0], 0, 1)).save(fn_xyza)
+        print(bn, "done")
+
+
+def _aligned_keypoints(aligndata):
+    M = aligndata["transformation"]
+    kpts = aligndata["_alignment"]["source"]["keypoints"][
+        aligndata["_alignment"]["source"]["_detection_used"]
+    ]
+    pts = np.concatenate([kpts[:, :2], np.ones((len(kpts), 1))], axis=-1)
+    return (M @ pts.T).T[:, :2]
+
+
+def _load_rmline(args):
+    from ..models.rmlinegan import RMLineGenerator, RMLineWrapper
+    from ..runtime.checkpoint import load_checkpoint
+
+    path = os.path.join(os.path.dirname(args.ckpt), "rmline")
+    if not os.path.isdir(path):
+        print("WARNING: no rmline checkpoint found; skipping line filling")
+        return None
+    variables, _ = load_checkpoint(path)
+    return RMLineWrapper(RMLineGenerator(), variables)
+
+
+def _load_resnet(args):
+    import jax
+
+    from ..models.resnet import ResNet50, ResnetFeatureExtractorPCA
+    from ..runtime.checkpoint import load_checkpoint
+
+    path = os.path.join(os.path.dirname(args.ckpt), "resnet")
+    resnet = ResNet50()
+    if os.path.isdir(path):
+        variables, cfg = load_checkpoint(path)
+        pca_w = np.asarray(cfg["pca_components"]) if cfg else None
+        pca_m = np.asarray(cfg["pca_mean"]) if cfg else None
+        import numpy as _np
+
+        pca = _np.load(os.path.join(path, "pca.npz"))
+        return ResnetFeatureExtractorPCA(
+            resnet, variables, pca["components"], pca["mean"], 512
+        )
+    print("WARNING: no resnet checkpoint; using random features")
+    import jax.numpy as jnp
+
+    variables = resnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
+    rng = np.random.RandomState(0)
+    return ResnetFeatureExtractorPCA(
+        resnet, variables, rng.randn(512, 2048).astype(np.float32),
+        np.zeros(2048, np.float32), 512,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Turntable rendering + animated export.
+
+Role of `_train/eg3dc/util/eg3dc_v0.py:64-87` (quickspin) and the gif/webp
+writers of `_util/video_v1.py:112-217` (via PIL; mp4 needs ffmpeg which is
+not assumed present — gif/webp cover the eval artifacts).
+
+TPU-first: the reference renders the turntable with a python loop of
+single-view G.f calls; here all n views run as ONE batched jitted forward
+(cameras are traced tensors, see cameras/conventions.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+def quickspin(G, variables, xin_base: dict, n: int = 30, batch: int = 12,
+              image_key: str = "image", **f_kwargs) -> List[np.ndarray]:
+    """Render n azimuths at elevation 0 -> list of [3,H,W] arrays in [0,1]."""
+    import jax.numpy as jnp
+
+    from ..models.triplane import TriPlaneGenerator
+
+    azims = np.linspace(0, 360, n + 1)[:-1]
+    frames = []
+    for i in range(0, n, batch):
+        az = azims[i : i + batch]
+        b = len(az)
+        xin = {
+            k: v for k, v in xin_base.items()
+            if k not in ("elevations", "azimuths", "fovs", "camera_params",
+                         "conditioning_params", "force_rays")
+        }
+        xin["elevations"] = jnp.zeros(b)
+        xin["azimuths"] = jnp.asarray(az, dtype=jnp.float32)
+        cond = xin.get("cond")
+        if cond is not None:
+            xin["cond"] = {
+                k: jnp.broadcast_to(v, (b,) + v.shape[1:]) for k, v in cond.items()
+            }
+        if "z" in xin:
+            xin["z"] = jnp.broadcast_to(xin["z"], (b, xin["z"].shape[-1]))
+        out = G.apply(variables, xin, method=TriPlaneGenerator.f,
+                      noise_mode="const", **f_kwargs)
+        img = np.asarray(out[image_key])
+        frames.extend(np.clip(img[j], 0, 1) for j in range(b))
+    return frames
+
+
+def save_animation(frames: List[np.ndarray], path: str, fps: int = 15):
+    """Save [3,H,W]-float frames as gif or webp via PIL."""
+    from PIL import Image
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    imgs = [
+        Image.fromarray(
+            (np.clip(f, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
+        )
+        for f in frames
+    ]
+    imgs[0].save(
+        path, save_all=True, append_images=imgs[1:],
+        duration=int(1000 / fps), loop=0,
+    )
+    return path

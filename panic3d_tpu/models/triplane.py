@@ -1,0 +1,576 @@
+"""TriPlaneGenerator: StyleGAN2 backbone -> triplanes -> volume render -> SR.
+
+Role of `src/training/triplane.py` (TriPlaneGenerator, OSGDecoder, and the
+paste-front compositing utilities, triplane.py:30-691). The kwargs-dict
+inference protocol ``G.f(x)`` (triplane.py:313-508) is preserved as the
+public model API.
+
+TPU-first deviations:
+- ``force_sigmoid`` is a constructor attribute, not mutable state
+  (set_force_sigmoid), so the module stays a pure function of its params.
+- Orthographic cameras (negative fov) are handled by computing both pinhole
+  and ortho rays and selecting per-sample with ``jnp.where`` — no
+  data-dependent python branch, so a mixed batch of perspective + ortho
+  views renders in one jitted call (the reference loops per-sample,
+  triplane.py:400-412).
+- Per-seed latents (np.random.RandomState) are host-side; inside jit pass
+  ``z``/``zs``/``ws`` arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..cameras.conventions import camera_label, get_rays_ortho
+from ..cameras.rays import sample_rays
+from ..ops.grid_sample import grid_sample_2d
+from ..utils.imageops import erosion, resize_nearest, sobel_magnitude
+from .stylegan2 import FullyConnectedLayer, Generator, resize_bilinear
+from .superresolution import SR_MODULES
+from .volumetric import renderer as vr
+
+
+def seeds_to_z(seeds, z_dim: int) -> np.ndarray:
+    """Per-seed z vectors via np.random.RandomState (triplane.py:352-355)."""
+    return np.stack(
+        [np.random.RandomState(s).randn(z_dim) for s in seeds]
+    ).astype(np.float32)
+
+
+class OSGDecoder(nn.Module):
+    """Tiny per-sample MLP decoder (triplane.py:516-548).
+
+    mean over planes -> FC(C->64) -> softplus -> FC(64->1+32);
+    sigma = ch 0, rgb = sigmoid clamp of the rest.
+    """
+
+    n_features: int
+    decoder_lr_mul: float = 1.0
+    decoder_output_dim: int = 32
+    hidden_dim: int = 64
+
+    @nn.compact
+    def __call__(self, sampled_features, force_sigmoid: bool = False):
+        x = jnp.mean(sampled_features, axis=1)  # [N, M, C]
+        N, M, C = x.shape
+        x = x.reshape(N * M, C)
+        x = FullyConnectedLayer(
+            C, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="net0"
+        )(x)
+        x = jax.nn.softplus(x)
+        x = FullyConnectedLayer(
+            self.hidden_dim,
+            1 + self.decoder_output_dim,
+            lr_multiplier=self.decoder_lr_mul,
+            name="net2",
+        )(x)
+        x = x.reshape(N, M, -1)
+        if force_sigmoid:
+            rgb = jax.nn.sigmoid(x[..., 1:])
+        else:
+            # MipNeRF sigmoid clamp
+            rgb = jax.nn.sigmoid(x[..., 1:]) * (1 + 2 * 0.001) - 0.001
+        sigma = x[..., 0:1]
+        return rgb, sigma
+
+
+DEFAULT_RENDERING_KWARGS = dict(
+    image_resolution=512,
+    disparity_space_sampling=False,
+    clamp_mode="softplus",
+    superresolution_module="training.superresolution.SuperresolutionHybrid8XDC",
+    c_gen_conditioning_zero=True,
+    c_scale=1.0,
+    superresolution_noise_mode="none",
+    density_reg=0.25,
+    density_reg_p_dist=0.004,
+    reg_type="l1",
+    decoder_lr_mul=1.0,
+    sr_antialias=True,
+    white_back=True,
+    triplane_depth=1,
+    use_triplane=True,
+    tanh_rgb_output=False,
+    box_warp=0.7,
+    ray_start=0.5,
+    ray_end=1.5,
+    depth_resolution=48,
+    depth_resolution_importance=48,
+    avg_camera_radius=1.0,
+    avg_camera_pivot=(0, 0, 0),
+)
+
+
+class TriPlaneGenerator(nn.Module):
+    """triplane.py:30-511. Construct-time config mirrors the reference."""
+
+    z_dim: int = 512
+    c_dim: int = 25
+    w_dim: int = 512
+    img_resolution: int = 512
+    img_channels: int = 3
+    sr_num_fp16_res: int = 0
+    mapping_kwargs: Any = None
+    rendering_kwargs: Any = None
+    sr_kwargs: Any = None
+    cond_mode: str = "none"
+    triplane_width: int = 32
+    sr_channels_hidden: int = 256
+    backbone_resolution: int = 256
+    synthesis_kwargs: Any = None
+    neural_rendering_resolution: int = 64
+    force_sigmoid: bool = False
+
+    @property
+    def rk(self) -> dict:
+        d = dict(DEFAULT_RENDERING_KWARGS)
+        d.update(self.rendering_kwargs or {})
+        return d
+
+    @property
+    def triplane_depth(self) -> int:
+        return self.rk.get("triplane_depth", 1)
+
+    def setup(self):
+        self.backbone = Generator(
+            z_dim=self.z_dim,
+            c_dim=self.c_dim,
+            w_dim=self.w_dim,
+            img_resolution=self.backbone_resolution,
+            img_channels=self.triplane_width * 3 * self.triplane_depth,
+            cond_mode=self.cond_mode,
+            mapping_kwargs=self.mapping_kwargs or {},
+            synthesis_kwargs=self.synthesis_kwargs or {},
+        )
+        sr_cls = SR_MODULES[self.rk["superresolution_module"]]
+        self.superresolution = sr_cls(
+            w_dim=self.w_dim,
+            channels=32,
+            channels_hidden=self.sr_channels_hidden,
+            img_resolution=self.img_resolution,
+            sr_num_fp16_res=self.sr_num_fp16_res,
+            sr_antialias=self.rk["sr_antialias"],
+            **(self.sr_kwargs or {}),
+        )
+        self.decoder = OSGDecoder(
+            self.triplane_width,
+            decoder_lr_mul=self.rk.get("decoder_lr_mul", 1),
+            decoder_output_dim=32,
+        )
+
+    @property
+    def num_ws(self):
+        # backbone synthesis num_ws (sum of convs + final torgb)
+        n = 0
+        res = 4
+        while res <= self.backbone_resolution:
+            n += 1 if res == 4 else 2
+            res *= 2
+        return n + 1
+
+    # -- mapping ----------------------------------------------------------
+
+    def mapping(self, z, c, cond=None, truncation_psi=1.0, truncation_cutoff=None,
+                update_emas=False):
+        """triplane.py:88-122 (incl. c zeroing and c_scale)."""
+        rk = self.rk
+        if rk["c_gen_conditioning_zero"]:
+            c = jnp.zeros_like(c)
+        c = c * rk.get("c_scale", 0)
+        return self.backbone.mapping(
+            z, c, cond, truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff, update_emas=update_emas,
+        )
+
+    def mapping_zplus(self, zs, c, cond=None, truncation_psi=1.0,
+                      truncation_cutoff=None, update_emas=False):
+        """Per-slot z+ mapping (triplane.py:123-143): z_i fills w slot i."""
+        bs, n, dim = zs.shape
+        zs_new = zs.reshape(bs * n, dim)
+        c_new = jnp.repeat(c[:, None, :], n, axis=1).reshape(bs * n, -1)
+        if cond is not None and "resnet_feats" in cond:
+            cond_new = dict(cond)
+            cond_new["resnet_feats"] = jnp.repeat(
+                cond["resnet_feats"][:, None, :], n, axis=1
+            ).reshape(bs * n, -1)
+        else:
+            cond_new = cond
+        ans = self.mapping(
+            zs_new, c_new, cond_new, truncation_psi=truncation_psi,
+            truncation_cutoff=truncation_cutoff, update_emas=update_emas,
+        )  # [bs*n, num_ws(=n), dim]
+        ans = ans.reshape(bs, n, n, dim)
+        diag = jnp.arange(n)
+        return ans[:, diag, diag, :]
+
+    # -- synthesis --------------------------------------------------------
+
+    def _planes_from_ws(self, ws, cond, update_emas=False, latent_injection=None,
+                        stop_level=None, **synthesis_kwargs):
+        planes = self.backbone.synthesis(
+            ws, cond, update_emas=update_emas, latent_injection=latent_injection,
+            stop_level=stop_level, **synthesis_kwargs,
+        )
+        return planes.reshape(
+            planes.shape[0],
+            3,
+            self.triplane_width * self.triplane_depth,
+            planes.shape[-2],
+            planes.shape[-1],
+        )
+
+    def synthesis(
+        self,
+        ws,
+        c,
+        cond=None,
+        neural_rendering_resolution: Optional[int] = None,
+        update_emas=False,
+        latent_injection=None,
+        stop_level=None,
+        force_rays=None,
+        triplane_crop=None,
+        cull_clouds=None,
+        binarize_clouds=None,
+        normalize_images=True,
+        render_key=None,
+        **synthesis_kwargs,
+    ):
+        """triplane.py:145-252. Returns the output dict."""
+        rk = self.rk
+        res = neural_rendering_resolution or self.neural_rendering_resolution
+        N = ws.shape[0]
+
+        if force_rays is None:
+            cam2world = c[:, :16].reshape(-1, 4, 4)
+            intrinsics = c[:, 16:25].reshape(-1, 3, 3)
+            ray_origins, ray_directions = sample_rays(cam2world, intrinsics, res)
+        else:
+            ro = force_rays["ray_origins"]
+            rd = force_rays["ray_directions"]
+            if ro.ndim == 4:  # [N,3,r,r] -> [N,M,3]
+                ro = ro.reshape(N, 3, -1).transpose(0, 2, 1)
+                rd = rd.reshape(N, 3, -1).transpose(0, 2, 1)
+            ray_origins, ray_directions = ro, rd
+
+        planes = self._planes_from_ws(
+            ws, cond, update_emas=update_emas, latent_injection=latent_injection,
+            stop_level=stop_level, **synthesis_kwargs,
+        )
+
+        decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        out = vr.render(
+            planes, decode_fn, ray_origins, ray_directions, rk,
+            key=render_key,
+            triplane_crop=triplane_crop,
+            cull_clouds=cull_clouds,
+            binarize_clouds=binarize_clouds,
+        )
+
+        H = W = res
+        feature_image = out.rgb.transpose(0, 2, 1).reshape(N, -1, H, W)
+        xyz_image = out.xyz.transpose(0, 2, 1).reshape(N, 3, H, W)
+        depth_image = out.depth.transpose(0, 2, 1).reshape(N, 1, H, W)
+        weights_image = out.weights.transpose(0, 2, 1).reshape(N, 1, H, W)
+        xyz_image = (
+            0.5 * (xyz_image + 1)
+            * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
+        )
+
+        rgb_image = feature_image[:, :3]
+        sr_image = self.superresolution(
+            rgb_image, feature_image, ws,
+            noise_mode=rk["superresolution_noise_mode"],
+            **{k: v for k, v in synthesis_kwargs.items() if k != "noise_mode"},
+        )
+
+        ans = {
+            "image": sr_image,
+            "image_raw": rgb_image,
+            "image_depth": depth_image,
+            "triplane": planes,
+            "image_weights": weights_image,
+            "image_xyz": xyz_image,
+        }
+        if rk.get("tanh_rgb_output", False):
+            ans["image"] = jnp.tanh(ans["image"])
+            ans["image_raw"] = jnp.tanh(ans["image_raw"])
+        if not normalize_images:
+            ans["image"] = 0.5 * ans["image"] + 0.5
+            ans["image_raw"] = 0.5 * ans["image_raw"] + 0.5
+        return ans
+
+    # -- shape sampling ----------------------------------------------------
+
+    def sample_mixed(self, coordinates, directions, ws, cond=None,
+                     update_emas=False, **synthesis_kwargs):
+        """Decode (rgb, sigma) at arbitrary coords from ws (triplane.py:273-298)."""
+        planes = self._planes_from_ws(ws, cond, update_emas=update_emas,
+                                      **synthesis_kwargs)
+        plane_axes = vr.generate_plane_axes(self.rk.get("use_triplane", False))
+        decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        rgb, sigma = vr.run_model(
+            plane_axes, planes, decode_fn, coordinates,
+            self.rk["box_warp"], self.triplane_depth,
+        )
+        return {"rgb": rgb, "sigma": sigma, "xyz": coordinates}
+
+    def sample_mixed_planes(self, planes, coordinates):
+        """Decode from precomputed planes: the volume-extraction fast path.
+
+        TPU-native addition: eval volume decoding (256³ grid) synthesizes
+        planes once and streams coordinate chunks through this method
+        (vs. the reference re-running backbone synthesis per chunk when not
+        cached, eg3d_metrics3d.py:124-151).
+        """
+        plane_axes = vr.generate_plane_axes(self.rk.get("use_triplane", False))
+        decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        rgb, sigma = vr.run_model(
+            plane_axes, planes, decode_fn, coordinates,
+            self.rk["box_warp"], self.triplane_depth,
+        )
+        return {"rgb": rgb, "sigma": sigma, "xyz": coordinates}
+
+    # -- the G.f kwargs-dict protocol ---------------------------------------
+
+    def __call__(self, x, **kwargs):
+        return self.f(x, **kwargs)
+
+    def f(
+        self,
+        x: Dict[str, Any],
+        truncation_psi=1.0,
+        truncation_cutoff=None,
+        latent_injection=None,
+        force_rays=None,
+        stop_level=None,
+        normalize_images=False,
+        **synthesis_kwargs,
+    ):
+        """Universal inference entry (triplane.py:313-508).
+
+        Accepts any of ws|zs|z (+ seeds host-side via seeds_to_z),
+        camera_params | (elevations, azimuths[, distances, fovs]), cond dict,
+        triplane_crop/cull_clouds/binarize_clouds/paste_params, force_rays.
+        Returns dict: image, image_raw, image_depth, image_weights,
+        image_xyz, triplane (+ image_prepaste/paste when pasting).
+        """
+        x = dict(x)
+        rk = self.rk
+
+        if "latent_injection" in x:
+            li = dict(latent_injection or {})
+            li.update(x["latent_injection"])
+            latent_injection = li
+
+        # latents
+        if "zs" not in x and "ws" not in x:
+            if "z" not in x:
+                x["z"] = jnp.asarray(seeds_to_z(x["seeds"], self.z_dim))
+            x["zs"] = jnp.broadcast_to(
+                x["z"][:, None, :], (x["z"].shape[0], self.num_ws, self.z_dim)
+            )
+
+        # cameras
+        if "camera_params" not in x:
+            if "distances" not in x:
+                x["distances"] = jnp.ones_like(x["elevations"])
+            if "fovs" not in x:
+                x["fovs"] = 30 * jnp.ones_like(x["elevations"])
+            x["camera_params"] = camera_label(
+                x["elevations"], x["azimuths"], x["distances"], x["fovs"]
+            )
+
+        neural_rendering_resolution = x.get(
+            "neural_rendering_resolution", self.neural_rendering_resolution
+        )
+        res = neural_rendering_resolution
+
+        # rays (force by default so ortho substitution is uniform)
+        force_rays = x.get("force_rays") or force_rays
+        if force_rays is None:
+            cam2world = x["camera_params"][:, :16].reshape(-1, 4, 4)
+            intrinsics = x["camera_params"][:, 16:25].reshape(-1, 3, 3)
+            ro, rd = sample_rays(cam2world, intrinsics, res)  # [N,M,3]
+            N = ro.shape[0]
+            ro = ro.transpose(0, 2, 1).reshape(N, 3, res, res)
+            rd = rd.transpose(0, 2, 1).reshape(N, 3, res, res)
+            if "elevations" in x:
+                # negative-fov cameras are orthographic: compute both, select
+                oro, ord_ = get_rays_ortho(
+                    x["elevations"], x["azimuths"],
+                    x.get("distances", jnp.ones_like(x["elevations"])),
+                    rk["box_warp"], res,
+                )
+                is_ortho = (intrinsics[:, 0, 0] < 0)[:, None, None, None]
+                ro = jnp.where(is_ortho, oro, ro)
+                rd = jnp.where(is_ortho, ord_, rd)
+            force_rays = {"ray_origins": ro, "ray_directions": rd}
+            x["force_rays"] = force_rays
+
+        x["conditioning_params"] = x["camera_params"]
+
+        cond = x.get("cond")
+        if "ws" not in x:
+            x["ws"] = self.mapping_zplus(
+                x["zs"], x["conditioning_params"], cond,
+                truncation_psi=truncation_psi,
+                truncation_cutoff=truncation_cutoff,
+            )
+
+        _ws = x["ws"]
+        if latent_injection is not None:
+            if "dw" in latent_injection:
+                _ws = _ws + latent_injection["dw"]
+            if "dws" in latent_injection:
+                _ws = _ws + latent_injection["dws"]
+
+        normalize_images = x.get("normalize_images", normalize_images)
+        synth = self.synthesis(
+            _ws,
+            x["camera_params"],
+            cond,
+            latent_injection=latent_injection,
+            triplane_crop=x.get("triplane_crop"),
+            cull_clouds=x.get("cull_clouds"),
+            binarize_clouds=x.get("binarize_clouds"),
+            force_rays=force_rays,
+            stop_level=stop_level,
+            normalize_images=normalize_images,
+            neural_rendering_resolution=res,
+            update_emas=x.get("update_emas", False),
+            **synthesis_kwargs,
+        )
+        ret = {
+            "image": synth["image"],
+            "image_raw": synth["image_raw"],
+            "image_depth": synth["image_depth"],
+            "image_weights": synth["image_weights"],
+            "triplane": synth["triplane"],
+            "image_xyz": synth["image_xyz"],
+            "normalize_images": normalize_images,
+        }
+        x.update(ret)
+
+        if x.get("paste_params"):
+            ret["image_prepaste"] = ret["image"]
+            paste = self.paste_front(x, ret, **x["paste_params"])
+            ret["paste"] = paste
+            ret["image"] = paste["image"]
+        return ret
+
+    # -- paste-front compositing (triplane.py:553-691) ----------------------
+
+    def _sample_orthofront(self, front_rgb, view_xyz, bw):
+        vij = 1 - (view_xyz[:, [1, 0]] + bw / 2) / bw
+        return grid_sample_2d(
+            front_rgb.transpose(0, 1, 3, 2),
+            vij.transpose(0, 2, 3, 1) * 2 - 1,
+            padding_mode="border",
+        )
+
+    def _get_front_occlusion(self, x, out, offset=0.01):
+        ro = out["image_xyz"] * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
+        ro = ro.at[:, 2].add(-(self.rk["ray_start"] - offset))
+        rd = jnp.zeros_like(ro).at[:, 2].set(1.0)
+        xin = {k: v for k, v in x.items() if k not in ("paste_params", "force_rays")}
+        xin["paste_params"] = None
+        xin["force_rays"] = {"ray_origins": ro, "ray_directions": rd}
+        return self.f(xin)["image_weights"]
+
+    def _get_front_weights(self, x):
+        bs = x["cond"]["image_ortho_front"].shape[0]
+        xin = {
+            k: v
+            for k, v in x.items()
+            if k not in ("paste_params", "camera_params", "conditioning_params",
+                         "force_rays")
+        }
+        xin["elevations"] = jnp.zeros(bs)
+        xin["azimuths"] = jnp.zeros(bs)
+        xin["fovs"] = -jnp.ones(bs)
+        return self.f(xin)["image_weights"]
+
+    @staticmethod
+    def _get_xyz_discrepancy(xyz, rays):
+        a = rays["ray_origins"]
+        n = rays["ray_directions"]
+        p = xyz * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
+        perp = (p - a) - jnp.sum((p - a) * n, axis=1, keepdims=True) * n
+        return jnp.linalg.norm(perp, axis=1, keepdims=True)
+
+    def paste_front(
+        self,
+        x,
+        out,
+        mode="default",
+        thresh_weight=0.95,
+        thresh_edges=0.02,
+        thresh_occ=0.05,
+        offset_occ=0.01,
+        thresh_dxyz=0.01,
+        front_weight_erosion=0,
+        force_image=None,
+        **kwargs,
+    ):
+        """Project the conditioning front view onto the render (triplane.py:607-691)."""
+        bw = self.rk["box_warp"]
+        view_xyz = out["image_xyz"]
+        front_rgb = x["cond"]["image_ortho_front"]
+        size = front_rgb.shape[-1]
+
+        sg = jax.lax.stop_gradient
+        wmask = (resize_bilinear(sg(out["image_weights"]), size) > thresh_weight)
+        wmask = wmask.astype(jnp.float32)
+
+        smask = sobel_magnitude(resize_bilinear(sg(out["image_xyz"]), size))
+        smask = (smask < thresh_edges).astype(jnp.float32)
+
+        fmask = (
+            sg(self._get_front_occlusion(x, out, offset=offset_occ)) < thresh_occ
+        ).astype(jnp.float32)
+        fmask = resize_bilinear(fmask, size)
+
+        dmask = self._get_xyz_discrepancy(sg(out["image_xyz"]), x["force_rays"])
+        dmask = resize_nearest(dmask, size)
+        dmask = (dmask < thresh_dxyz).astype(jnp.float32)
+
+        if front_weight_erosion >= 1:
+            frontw = sg(self._get_front_weights(x))
+            fwmask = erosion(
+                (frontw > 0.5).astype(jnp.float32), front_weight_erosion
+            )
+            fwmask = self._sample_orthofront(
+                fwmask, resize_bilinear(view_xyz, size), bw
+            )
+            fwmask = resize_nearest(fwmask, size)
+        else:
+            frontw = None
+            fwmask = jnp.ones_like(dmask)
+
+        mask = wmask * smask * fmask * dmask * fwmask
+
+        if force_image is None:
+            tocopy = front_rgb if not x["normalize_images"] else front_rgb * 2 - 1
+        else:
+            tocopy = force_image
+        paste = self._sample_orthofront(
+            tocopy, resize_bilinear(view_xyz, size), bw
+        )
+        ans = out["image"] + (paste - out["image"]) * mask
+        return {
+            "image": ans,
+            "paste": paste,
+            "mask": mask,
+            "mask_weights": wmask,
+            "mask_edges": smask,
+            "mask_occ": fmask,
+            "mask_dxyz": dmask,
+            "mask_frontweight": fwmask,
+            "frontweight": frontw,
+        }

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.grid_sample import grid_sample_2d, grid_sample_3d
+from ...ops.grid_sample import grid_sample_2d_points, grid_sample_3d_points
 
 
 # ---------------------------------------------------------------------------
@@ -74,14 +74,14 @@ def sample_from_planes(
 
     if triplane_depth == 1:
         feats = plane_features.reshape(N * n_planes, CD, H, W)
-        grid = proj[..., :2].reshape(N * n_planes, 1, M, 2)
-        out = grid_sample_2d(feats, grid, padding_mode="zeros")  # [N*3,C,1,M]
-        return out[:, :, 0, :].transpose(0, 2, 1).reshape(N, n_planes, M, CD)
+        pts = proj[..., :2].reshape(N * n_planes, M, 2)
+        out = grid_sample_2d_points(feats, pts, padding_mode="zeros")  # [N*3,M,C]
+        return out.reshape(N, n_planes, M, CD)
     C, D = CD // triplane_depth, triplane_depth
     feats = plane_features.reshape(N * n_planes, C, D, H, W)
-    grid = proj.reshape(N * n_planes, 1, 1, M, 3)
-    out = grid_sample_3d(feats, grid, padding_mode="zeros")  # [N*3,C,1,1,M]
-    return out[:, :, 0, 0, :].transpose(0, 2, 1).reshape(N, n_planes, M, C)
+    pts = proj.reshape(N * n_planes, M, 3)
+    out = grid_sample_3d_points(feats, pts, padding_mode="zeros")  # [N*3,M,C]
+    return out.reshape(N, n_planes, M, C)
 
 
 # ---------------------------------------------------------------------------

@@ -4,9 +4,13 @@ Role of ``torch.nn.functional.grid_sample`` as used by the reference's
 triplane lookup (`src/training/volumetric_rendering/renderer.py:68-93`,
 align_corners=False, padding 'zeros') and the paste-front compositor
 (`src/training/triplane.py:555-563`, padding 'border'). This is THE hot
-inner op of the volume renderer; this jnp version is the reference
-implementation and the correctness oracle for the fused Pallas render kernel
-(ops/pallas/). XLA lowers the gathers to TPU dynamic-gather; the lerp fuses.
+inner op of the volume renderer.
+
+TPU layout note: gathers are performed on a channels-last [N, H*W, C]
+matrix — each gathered element is a contiguous C-vector in the lane
+dimension, which XLA lowers to an efficient row gather. Gathering along
+the last axis instead (channels in sublanes) scalarizes on TPU and is
+orders of magnitude slower.
 
 Gradients w.r.t. both input and grid come from JAX autodiff, covering the
 role of the reference's `grid_sample_gradfix.py`.
@@ -25,103 +29,107 @@ def _unnormalize(coord, size, align_corners):
     return ((coord + 1) * size - 1) / 2
 
 
-def _gather_2d(flat, iy, ix, H, W, padding_mode):
-    """flat: [N, C, H*W]; iy/ix: int32 [N, P] -> [N, C, P]."""
-    if padding_mode == "zeros":
-        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
-    lin = iyc * W + ixc
-    vals = jnp.take_along_axis(flat, lin[:, None, :], axis=2)
-    if padding_mode == "zeros":
-        vals = jnp.where(valid[:, None, :], vals, 0)
-    return vals
+def _bilinear_setup(gx, gy, H, W, align_corners):
+    ix = _unnormalize(gx.astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(gy.astype(jnp.float32), H, align_corners)
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    wx1 = ix - ix0
+    wy1 = iy - iy0
+    return ix0.astype(jnp.int32), iy0.astype(jnp.int32), wx1, wy1
+
+
+def grid_sample_2d_points(input, points, padding_mode="zeros",
+                          align_corners=False):
+    """Sample input [N,C,H,W] at points [N,P,2] (x,y in [-1,1]) -> [N,P,C]."""
+    assert padding_mode in ("zeros", "border")
+    N, C, H, W = input.shape
+    flat = input.reshape(N, C, H * W).transpose(0, 2, 1)  # [N, HW, C] rows
+    dtype = input.dtype
+
+    ix0, iy0, wx1, wy1 = _bilinear_setup(
+        points[..., 0], points[..., 1], H, W, align_corners
+    )
+
+    def gather(iy, ix):
+        if padding_mode == "zeros":
+            valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+        lin = jnp.clip(iy, 0, H - 1) * W + jnp.clip(ix, 0, W - 1)
+        vals = jnp.take_along_axis(flat, lin[:, :, None], axis=1)  # [N,P,C]
+        if padding_mode == "zeros":
+            vals = jnp.where(valid[:, :, None], vals, 0)
+        return vals
+
+    wx1 = wx1[..., None].astype(dtype)
+    wy1 = wy1[..., None].astype(dtype)
+    v00 = gather(iy0, ix0)
+    v01 = gather(iy0, ix0 + 1)
+    v10 = gather(iy0 + 1, ix0)
+    v11 = gather(iy0 + 1, ix0 + 1)
+    top = v00 + (v01 - v00) * wx1
+    bot = v10 + (v11 - v10) * wx1
+    return top + (bot - top) * wy1
 
 
 def grid_sample_2d(input, grid, padding_mode="zeros", align_corners=False):
-    """Bilinear sample: input [N,C,H,W], grid [N,Hg,Wg,2] (x,y in [-1,1]).
-
-    Returns [N,C,Hg,Wg]. Matches torch grid_sample semantics.
-    """
-    assert padding_mode in ("zeros", "border")
+    """torch-layout API: grid [N,Hg,Wg,2] -> [N,C,Hg,Wg]."""
     N, C, H, W = input.shape
     gshape = grid.shape[1:-1]
-    grid = grid.reshape(N, -1, 2)
-    compute_dtype = input.dtype
-
-    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
-    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
-    ix0 = jnp.floor(ix)
-    iy0 = jnp.floor(iy)
-    wx1 = (ix - ix0).astype(compute_dtype)
-    wy1 = (iy - iy0).astype(compute_dtype)
-    ix0 = ix0.astype(jnp.int32)
-    iy0 = iy0.astype(jnp.int32)
-    ix1 = ix0 + 1
-    iy1 = iy0 + 1
-
-    flat = input.reshape(N, C, H * W)
-    v00 = _gather_2d(flat, iy0, ix0, H, W, padding_mode)
-    v01 = _gather_2d(flat, iy0, ix1, H, W, padding_mode)
-    v10 = _gather_2d(flat, iy1, ix0, H, W, padding_mode)
-    v11 = _gather_2d(flat, iy1, ix1, H, W, padding_mode)
-
-    wx1 = wx1[:, None, :]
-    wy1 = wy1[:, None, :]
-    out = (
-        v00 * (1 - wy1) * (1 - wx1)
-        + v01 * (1 - wy1) * wx1
-        + v10 * wy1 * (1 - wx1)
-        + v11 * wy1 * wx1
+    out = grid_sample_2d_points(
+        input, grid.reshape(N, -1, 2), padding_mode, align_corners
     )
-    return out.reshape(N, C, *gshape)
+    return out.transpose(0, 2, 1).reshape(N, C, *gshape)
 
 
-def _gather_3d(flat, iz, iy, ix, D, H, W, padding_mode):
-    if padding_mode == "zeros":
-        valid = (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H) & (iz >= 0) & (iz < D)
-    ixc = jnp.clip(ix, 0, W - 1)
-    iyc = jnp.clip(iy, 0, H - 1)
-    izc = jnp.clip(iz, 0, D - 1)
-    lin = (izc * H + iyc) * W + ixc
-    vals = jnp.take_along_axis(flat, lin[:, None, :], axis=2)
-    if padding_mode == "zeros":
-        vals = jnp.where(valid[:, None, :], vals, 0)
-    return vals
+def grid_sample_3d_points(input, points, padding_mode="zeros",
+                          align_corners=False):
+    """Sample input [N,C,D,H,W] at points [N,P,3] (x,y,z) -> [N,P,C]."""
+    assert padding_mode in ("zeros", "border")
+    N, C, D, H, W = input.shape
+    flat = input.reshape(N, C, D * H * W).transpose(0, 2, 1)  # [N, DHW, C]
+    dtype = input.dtype
+
+    ix0, iy0, wx1, wy1 = _bilinear_setup(
+        points[..., 0], points[..., 1], H, W, align_corners
+    )
+    iz = _unnormalize(points[..., 2].astype(jnp.float32), D, align_corners)
+    iz0f = jnp.floor(iz)
+    wz1 = (iz - iz0f)[..., None].astype(dtype)
+    iz0 = iz0f.astype(jnp.int32)
+
+    def gather(iz_, iy, ix):
+        if padding_mode == "zeros":
+            valid = (
+                (ix >= 0) & (ix < W) & (iy >= 0) & (iy < H)
+                & (iz_ >= 0) & (iz_ < D)
+            )
+        lin = (
+            jnp.clip(iz_, 0, D - 1) * H + jnp.clip(iy, 0, H - 1)
+        ) * W + jnp.clip(ix, 0, W - 1)
+        vals = jnp.take_along_axis(flat, lin[:, :, None], axis=1)
+        if padding_mode == "zeros":
+            vals = jnp.where(valid[:, :, None], vals, 0)
+        return vals
+
+    wx1 = wx1[..., None].astype(dtype)
+    wy1 = wy1[..., None].astype(dtype)
+    out = 0
+    for dz, wz in ((0, 1 - wz1), (1, wz1)):
+        v00 = gather(iz0 + dz, iy0, ix0)
+        v01 = gather(iz0 + dz, iy0, ix0 + 1)
+        v10 = gather(iz0 + dz, iy0 + 1, ix0)
+        v11 = gather(iz0 + dz, iy0 + 1, ix0 + 1)
+        top = v00 + (v01 - v00) * wx1
+        bot = v10 + (v11 - v10) * wx1
+        out = out + (top + (bot - top) * wy1) * wz
+    return out
 
 
 def grid_sample_3d(input, grid, padding_mode="zeros", align_corners=False):
-    """Trilinear sample: input [N,C,D,H,W], grid [N,Dg,Hg,Wg,3] (x,y,z).
-
-    x indexes W, y indexes H, z indexes D (torch convention). Used for the
-    reference's triplane_depth>1 "multiplane" variant (renderer.py:82-93).
-    """
-    assert padding_mode in ("zeros", "border")
+    """torch-layout API: grid [N,Dg,Hg,Wg,3] -> [N,C,Dg,Hg,Wg]."""
     N, C, D, H, W = input.shape
     gshape = grid.shape[1:-1]
-    grid = grid.reshape(N, -1, 3)
-    compute_dtype = input.dtype
-
-    ix = _unnormalize(grid[..., 0].astype(jnp.float32), W, align_corners)
-    iy = _unnormalize(grid[..., 1].astype(jnp.float32), H, align_corners)
-    iz = _unnormalize(grid[..., 2].astype(jnp.float32), D, align_corners)
-    ix0 = jnp.floor(ix)
-    iy0 = jnp.floor(iy)
-    iz0 = jnp.floor(iz)
-    wx1 = (ix - ix0).astype(compute_dtype)[:, None, :]
-    wy1 = (iy - iy0).astype(compute_dtype)[:, None, :]
-    wz1 = (iz - iz0).astype(compute_dtype)[:, None, :]
-    ix0 = ix0.astype(jnp.int32)
-    iy0 = iy0.astype(jnp.int32)
-    iz0 = iz0.astype(jnp.int32)
-
-    flat = input.reshape(N, C, D * H * W)
-    out = 0
-    for dz, wz in ((0, 1 - wz1), (1, wz1)):
-        for dy, wy in ((0, 1 - wy1), (1, wy1)):
-            for dx, wx in ((0, 1 - wx1), (1, wx1)):
-                v = _gather_3d(
-                    flat, iz0 + dz, iy0 + dy, ix0 + dx, D, H, W, padding_mode
-                )
-                out = out + v * (wz * wy * wx)
-    return out.reshape(N, C, *gshape)
+    out = grid_sample_3d_points(
+        input, grid.reshape(N, -1, 3), padding_mode, align_corners
+    )
+    return out.transpose(0, 2, 1).reshape(N, C, *gshape)

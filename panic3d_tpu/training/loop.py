@@ -1,0 +1,227 @@
+"""Phase-based GAN training step + state, mesh-sharded.
+
+Role of `src/training/training_loop_v0.py:99-539` and the phase construction
+of `trainers/train_eclustrousC.py`:
+- phases Gmain/Gcond/Gside-*/Grand/Greg/Dmain/Dreg, each its own Adam step
+  against the shared per-module optimizer (training_loop_v0.py:221-266);
+- lazy-regularization lr/beta scaling by reg_interval/(reg_interval+1)
+  (training_loop_v0.py:226-229);
+- grad nan_to_num (training_loop_v0.py:371);
+- G_ema lerp with beta 0.5^(batch/ema_nimg) (training_loop_v0.py:381-392).
+
+TPU-first: the whole multi-phase step is ONE jitted function over a
+jax.sharding.Mesh — the reference's per-GPU process spawn, param broadcast,
+and manual flattened all_reduce (SURVEY.md §2.8) are replaced by sharded jit;
+XLA emits the psum over ICI. Gradient sync, EMA, and optimizer updates all
+happen on-device.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .loss import LossConfig, OrthoCondLoss
+
+
+@flax.struct.dataclass
+class GANTrainState:
+    vars_G: Any
+    vars_D: Any
+    vars_Gema: Any
+    opt_G: Any
+    opt_D: Any
+    cur_nimg: jnp.ndarray  # int32 scalar
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    batch_size: int = 4
+    g_lr: float = 0.0025
+    d_lr: float = 0.002
+    betas: Tuple[float, float] = (0.0, 0.99)
+    eps: float = 1e-8
+    g_reg_interval: int = 4
+    d_reg_interval: int = 16
+    ema_kimg: float = 1.25  # batch*10/32 (train_eclustrousC.py:392)
+    ema_rampup: Optional[float] = None
+    phases: Tuple[str, ...] = (
+        "Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back", "Grand",
+        "Greg", "Dmain", "Dreg",
+    )
+
+
+def _scaled_adam(lr, betas, eps, reg_interval):
+    """Lazy-reg Adam scaling (training_loop_v0.py:226-229)."""
+    mb = reg_interval / (reg_interval + 1)
+    return optax.adam(
+        learning_rate=lr * mb, b1=betas[0] ** mb, b2=betas[1] ** mb, eps=eps,
+    )
+
+
+def make_optimizers(cfg: TrainConfig):
+    opt_G = _scaled_adam(cfg.g_lr, cfg.betas, cfg.eps, cfg.g_reg_interval)
+    opt_D = _scaled_adam(cfg.d_lr, cfg.betas, cfg.eps, cfg.d_reg_interval)
+    return opt_G, opt_D
+
+
+def init_state(vars_G, vars_D, cfg: TrainConfig) -> GANTrainState:
+    opt_G, opt_D = make_optimizers(cfg)
+    return GANTrainState(
+        vars_G=vars_G,
+        vars_D=vars_D,
+        vars_Gema=jax.tree_util.tree_map(jnp.copy, vars_G),
+        opt_G=opt_G.init(vars_G["params"]),
+        opt_D=opt_D.init(vars_D["params"]),
+        cur_nimg=jnp.zeros((), jnp.int32),
+    )
+
+
+def _nan_to_num_tree(tree):
+    return jax.tree_util.tree_map(jnp.nan_to_num, tree)
+
+
+def build_train_step(
+    loss: OrthoCondLoss,
+    train_cfg: TrainConfig,
+    z_dim: int,
+    active_phases: Sequence[str],
+):
+    """Compile one jitted multi-phase step for a given phase subset.
+
+    The host loop picks the compiled variant per step (reg phases fire every
+    g/d_reg_interval steps), mirroring phase.interval gating
+    (training_loop_v0.py:350-361). `gain` = phase interval.
+    """
+    opt_G, opt_D = make_optimizers(train_cfg)
+    cfg = loss.cfg
+
+    def g_phase_update(state, grads_fn, *args):
+        (l, stats), grads = grads_fn(state.vars_G["params"], *args)
+        grads = _nan_to_num_tree(grads)
+        updates, new_opt = opt_G.update(grads, state.opt_G, state.vars_G["params"])
+        params = optax.apply_updates(state.vars_G["params"], updates)
+        return state.replace(
+            vars_G=dict(state.vars_G, params=params), opt_G=new_opt
+        ), stats
+
+    def d_phase_update(state, grads_fn, *args):
+        (l, stats), grads = grads_fn(state.vars_D["params"], *args)
+        grads = _nan_to_num_tree(grads)
+        updates, new_opt = opt_D.update(grads, state.opt_D, state.vars_D["params"])
+        params = optax.apply_updates(state.vars_D["params"], updates)
+        return state.replace(
+            vars_D=dict(state.vars_D, params=params), opt_D=new_opt
+        ), stats
+
+    def train_step(state: GANTrainState, batch, key):
+        stats = {}
+        cur_nimg = state.cur_nimg
+        z_key, *phase_keys = jax.random.split(key, len(active_phases) + 1)
+        bs = batch["image"].shape[0]
+        gen_z = jax.random.normal(z_key, (bs, z_dim))
+        gen_c = batch["camera"]
+
+        def wrapG(params, extra):
+            return dict(state.vars_G, params=params), extra
+
+        for phase, pk in zip(active_phases, phase_keys):
+            if phase == "Gmain":
+                fn = jax.value_and_grad(
+                    lambda p, k: loss.g_main_loss(
+                        dict(state.vars_G, params=p), state.vars_D, batch,
+                        gen_z, gen_c, k, cur_nimg,
+                    ),
+                    has_aux=True,
+                )
+                state, s = g_phase_update(state, fn, pk)
+            elif phase in ("Gcond", "Gside-left", "Gside-right", "Gside-back",
+                           "Grand"):
+                view = {
+                    "Gcond": "front",
+                    "Gside-left": "left",
+                    "Gside-right": "right",
+                    "Gside-back": "back",
+                    "Grand": "rand",
+                }[phase]
+                fn = jax.value_and_grad(
+                    lambda p, k, v=view: loss.g_cond_loss(
+                        dict(state.vars_G, params=p), batch, gen_z, k, view=v
+                    ),
+                    has_aux=True,
+                )
+                state, s = g_phase_update(state, fn, pk)
+            elif phase == "Greg":
+                fn = jax.value_and_grad(
+                    lambda p, k: loss.g_reg_loss(
+                        dict(state.vars_G, params=p), batch, gen_z, gen_c, k,
+                        cur_nimg, gain=float(train_cfg.g_reg_interval),
+                    ),
+                    has_aux=True,
+                )
+                state, s = g_phase_update(state, fn, pk)
+            elif phase == "Dmain":
+                fn = jax.value_and_grad(
+                    lambda p, k: loss.d_main_loss(
+                        dict(state.vars_D, params=p), state.vars_G, batch,
+                        gen_z, gen_c, k, cur_nimg,
+                    ),
+                    has_aux=True,
+                )
+                state, s = d_phase_update(state, fn, pk)
+            elif phase == "Dreg":
+                fn = jax.value_and_grad(
+                    lambda p, k: loss.d_reg_loss(
+                        dict(state.vars_D, params=p), batch, gen_c, k, cur_nimg,
+                        gain=float(train_cfg.d_reg_interval),
+                    ),
+                    has_aux=True,
+                )
+                state, s = d_phase_update(state, fn, pk)
+            else:
+                raise ValueError(phase)
+            stats.update(s)
+
+        # G_ema lerp (training_loop_v0.py:381-392)
+        ema_nimg = train_cfg.ema_kimg * 1000
+        if train_cfg.ema_rampup is not None:
+            ema_nimg = jnp.minimum(
+                ema_nimg, state.cur_nimg.astype(jnp.float32) * train_cfg.ema_rampup
+            )
+        ema_beta = 0.5 ** (train_cfg.batch_size / jnp.maximum(ema_nimg, 1e-8))
+        new_ema_params = jax.tree_util.tree_map(
+            lambda p, e: p + (e - p) * ema_beta,
+            state.vars_G["params"],
+            state.vars_Gema["params"],
+        )
+        vars_Gema = dict(state.vars_G)  # buffers copied directly
+        vars_Gema["params"] = new_ema_params
+        state = state.replace(
+            vars_Gema=vars_Gema,
+            cur_nimg=state.cur_nimg + train_cfg.batch_size,
+        )
+        return state, stats
+
+    return train_step
+
+
+def phases_for_step(step: int, cfg: TrainConfig) -> Tuple[str, ...]:
+    """Which phases run at this step (interval gating)."""
+    out = []
+    for ph in cfg.phases:
+        if ph == "Greg":
+            if step % cfg.g_reg_interval == 0:
+                out.append(ph)
+        elif ph == "Dreg":
+            if step % cfg.d_reg_interval == 0:
+                out.append(ph)
+        else:
+            out.append(ph)
+    return tuple(out)

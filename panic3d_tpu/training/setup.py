@@ -1,0 +1,67 @@
+"""Wiring: flax modules -> OrthoCondLoss apply adapters -> train step.
+
+The glue the reference spreads across training_loop_v0.py:150-266
+(model construction, loss construction, phase setup) — here a few factory
+functions that close flax modules + variables into the pure loss fns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+
+from ..eval.lpips import LPIPS
+from ..models.dual_discriminator import DualDiscriminator
+from ..models.triplane import TriPlaneGenerator
+from .loop import TrainConfig, build_train_step, init_state
+from .loss import LossConfig, OrthoCondLoss
+
+
+def make_loss(
+    G: TriPlaneGenerator,
+    D: DualDiscriminator,
+    lpips_vars,
+    cfg: LossConfig,
+    noise_mode: str = "random",
+):
+    lpips_module = LPIPS()
+
+    def G_f(vars_G, xin, key):
+        k_noise, k_render = jax.random.split(key)
+        return G.apply(
+            vars_G, xin,
+            method=TriPlaneGenerator.f,
+            rngs={"noise": k_noise} if noise_mode == "random" else {},
+            noise_mode=noise_mode,
+            render_key=k_render,
+        )
+
+    def G_mapping(vars_G, z, c, cond):
+        return G.apply(vars_G, z, c, cond, method=TriPlaneGenerator.mapping)
+
+    def G_sample_mixed(vars_G, coords, dirs, ws, cond):
+        return G.apply(
+            vars_G, coords, dirs, ws, cond,
+            method=TriPlaneGenerator.sample_mixed,
+            rngs={"noise": jax.random.PRNGKey(0)} if noise_mode == "random" else {},
+            noise_mode=noise_mode,
+        )
+
+    def D_apply(vars_D, img, c, cond, key):
+        rngs = {"noise": key} if D.disc_c_noise > 0 else {}
+        return D.apply(vars_D, img, c, cond, rngs=rngs)
+
+    def lpips_fn(a, b):
+        return lpips_module.apply(lpips_vars, a, b)
+
+    return OrthoCondLoss(cfg, G_f, G_mapping, G_sample_mixed, D_apply, lpips_fn)
+
+
+def init_lpips(key=None):
+    """Random-init LPIPS vars (use runtime.convert tools for real weights)."""
+    import jax.numpy as jnp
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    x = jnp.zeros((1, 3, 64, 64))
+    return LPIPS().init(key, x, x)

@@ -41,7 +41,12 @@ class Dict(dict):
         try:
             return self[name]
         except KeyError:
-            raise AttributeError(name) from None
+            if name.startswith("__"):  # don't fabricate dunder attributes
+                raise AttributeError(name) from None
+            # addict-style autonesting: d.a.b = 1 creates intermediate Dicts
+            child = Dict()
+            self[name] = child
+            return child
 
     def __setattr__(self, name: str, value: Any) -> None:
         self[name] = self._wrap(value)
