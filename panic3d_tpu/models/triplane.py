@@ -56,7 +56,8 @@ class OSGDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, sampled_features, force_sigmoid: bool = False):
-        x = jnp.mean(sampled_features, axis=1)  # [N, M, C]
+        # features may arrive bf16 from the gather; decode math is fp32
+        x = jnp.mean(sampled_features.astype(jnp.float32), axis=1)  # [N, M, C]
         N, M, C = x.shape
         x = x.reshape(N * M, C)
         x = FullyConnectedLayer(
@@ -459,7 +460,9 @@ class TriPlaneGenerator(nn.Module):
 
         if x.get("paste_params"):
             ret["image_prepaste"] = ret["image"]
-            paste = self.paste_front(x, ret, **x["paste_params"])
+            paste = self.paste_front(
+                x, ret, _synthesis_kwargs=synthesis_kwargs, **x["paste_params"]
+            )
             ret["paste"] = paste
             ret["image"] = paste["image"]
         return ret
@@ -474,16 +477,16 @@ class TriPlaneGenerator(nn.Module):
             padding_mode="border",
         )
 
-    def _get_front_occlusion(self, x, out, offset=0.01):
+    def _get_front_occlusion(self, x, out, offset=0.01, synthesis_kwargs=None):
         ro = out["image_xyz"] * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
         ro = ro.at[:, 2].add(-(self.rk["ray_start"] - offset))
         rd = jnp.zeros_like(ro).at[:, 2].set(1.0)
         xin = {k: v for k, v in x.items() if k not in ("paste_params", "force_rays")}
         xin["paste_params"] = None
         xin["force_rays"] = {"ray_origins": ro, "ray_directions": rd}
-        return self.f(xin)["image_weights"]
+        return self.f(xin, **(synthesis_kwargs or {}))["image_weights"]
 
-    def _get_front_weights(self, x):
+    def _get_front_weights(self, x, synthesis_kwargs=None):
         bs = x["cond"]["image_ortho_front"].shape[0]
         xin = {
             k: v
@@ -494,7 +497,7 @@ class TriPlaneGenerator(nn.Module):
         xin["elevations"] = jnp.zeros(bs)
         xin["azimuths"] = jnp.zeros(bs)
         xin["fovs"] = -jnp.ones(bs)
-        return self.f(xin)["image_weights"]
+        return self.f(xin, **(synthesis_kwargs or {}))["image_weights"]
 
     @staticmethod
     def _get_xyz_discrepancy(xyz, rays):
@@ -516,13 +519,18 @@ class TriPlaneGenerator(nn.Module):
         thresh_dxyz=0.01,
         front_weight_erosion=0,
         force_image=None,
+        _synthesis_kwargs=None,
         **kwargs,
     ):
         """Project the conditioning front view onto the render (triplane.py:607-691)."""
         bw = self.rk["box_warp"]
         view_xyz = out["image_xyz"]
         front_rgb = x["cond"]["image_ortho_front"]
-        size = front_rgb.shape[-1]
+        # operate at output resolution (== cond resolution in the reference;
+        # resize the conditioning image when a small config differs)
+        size = out["image"].shape[-1]
+        if front_rgb.shape[-1] != size:
+            front_rgb = resize_bilinear(front_rgb, size)
 
         sg = jax.lax.stop_gradient
         wmask = (resize_bilinear(sg(out["image_weights"]), size) > thresh_weight)
@@ -532,7 +540,9 @@ class TriPlaneGenerator(nn.Module):
         smask = (smask < thresh_edges).astype(jnp.float32)
 
         fmask = (
-            sg(self._get_front_occlusion(x, out, offset=offset_occ)) < thresh_occ
+            sg(self._get_front_occlusion(
+                x, out, offset=offset_occ, synthesis_kwargs=_synthesis_kwargs,
+            )) < thresh_occ
         ).astype(jnp.float32)
         fmask = resize_bilinear(fmask, size)
 
@@ -541,7 +551,7 @@ class TriPlaneGenerator(nn.Module):
         dmask = (dmask < thresh_dxyz).astype(jnp.float32)
 
         if front_weight_erosion >= 1:
-            frontw = sg(self._get_front_weights(x))
+            frontw = sg(self._get_front_weights(x, synthesis_kwargs=_synthesis_kwargs))
             fwmask = erosion(
                 (frontw > 0.5).astype(jnp.float32), front_weight_erosion
             )

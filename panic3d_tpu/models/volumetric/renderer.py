@@ -283,19 +283,36 @@ def sample_importance(z_vals, weights, n_importance: int,
 
 
 def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
-    """Concatenate coarse+fine and sort by depth (renderer.py:289-301)."""
+    """Concatenate coarse+fine and sort by depth (renderer.py:289-301).
+
+    TPU: the per-ray reorder is done with one flat global-index row gather
+    over [B*R*S, C] (see ops/grid_sample.py note) instead of a batched
+    take_along_axis per tensor.
+    """
+    B, R = d1.shape[:2]
     depths = jnp.concatenate([d1, d2], axis=-2)
+    S = depths.shape[2]
     colors = jnp.concatenate([c1, c2], axis=-2)
     xyz = jnp.concatenate([x1, x2], axis=-2)
     densities = jnp.concatenate([s1, s2], axis=-2)
-    idx = jnp.argsort(depths, axis=-2)  # [B,R,S,1]
+    idx = jnp.argsort(depths[..., 0], axis=-1).astype(jnp.int32)  # [B,R,S]
+    base = (jnp.arange(B * R, dtype=jnp.int32) * S).reshape(B, R, 1)
+    gidx = (idx + base).reshape(-1)
 
     def take(a):
-        return jnp.take_along_axis(
-            a, jnp.broadcast_to(idx, idx.shape[:-1] + (a.shape[-1],)), axis=-2
-        )
+        C = a.shape[-1]
+        return jnp.take(a.reshape(B * R * S, C), gidx, axis=0).reshape(B, R, S, C)
 
-    return take(depths), take(colors), take(densities), take(xyz)
+    # one fused gather for everything that rides the same order
+    packed = jnp.concatenate([depths, colors, densities, xyz], axis=-1)
+    out = take(packed)
+    cC = colors.shape[-1]
+    return (
+        out[..., :1],
+        out[..., 1 : 1 + cC],
+        out[..., 1 + cC : 2 + cC],
+        out[..., 2 + cC :],
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -341,6 +358,14 @@ def render(
     tdepth = options.get("triplane_depth", 1)
     N = ray_origins.shape[0]
     R = ray_origins.shape[1]
+
+    # TPU: the triplane gather is HBM-random-access bound; bf16 halves the
+    # gathered bytes (the decoder MLP and compositing stay fp32). Set
+    # rendering_kwargs['render_dtype']='float32' for bit-parity checks.
+    render_dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[
+        options.get("render_dtype", "bfloat16")
+    ]
+    planes = planes.astype(render_dtype)
 
     k_strat = k_imp = None
     if key is not None:

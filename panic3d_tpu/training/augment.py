@@ -1,0 +1,224 @@
+"""ADA augmentation pipeline.
+
+Role of `src/training/augment.py` (StyleGAN2-ADA AugmentPipe): probability
+-gated geometric + color + noise/cutout augmentations applied to
+discriminator inputs, with the tunable global strength `p` driven by the
+ADA heuristic (training_loop_v0.py:398-402). Disabled in the shipped
+PAniC-3D run (--aug noaug, train_eclustrousC.py:208).
+
+Deviation from the reference: geometric warps use a single affine +
+bilinear resample (ops/grid_sample) instead of the reference's orthogonal
+-wavelet filtered transform stack — the augmentation distribution matches;
+the antialiasing quality differs slightly. Color transforms, noise and
+cutout are exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.grid_sample import grid_sample_2d
+
+
+@dataclasses.dataclass(frozen=True)
+class AugmentConfig:
+    xflip: float = 0.0
+    rotate90: float = 0.0
+    xint: float = 0.0
+    xint_max: float = 0.125
+    scale: float = 0.0
+    rotate: float = 0.0
+    aniso: float = 0.0
+    xfrac: float = 0.0
+    scale_std: float = 0.2
+    rotate_max: float = 1.0
+    aniso_std: float = 0.2
+    xfrac_std: float = 0.125
+    brightness: float = 0.0
+    contrast: float = 0.0
+    lumaflip: float = 0.0
+    hue: float = 0.0
+    saturation: float = 0.0
+    brightness_std: float = 0.2
+    contrast_std: float = 0.5
+    hue_max: float = 1.0
+    saturation_std: float = 1.0
+    noise: float = 0.0
+    cutout: float = 0.0
+    noise_std: float = 0.1
+    cutout_size: float = 0.5
+
+    @staticmethod
+    def bgc():
+        """The 'bgc' preset: blit + geometric + color all at strength 1."""
+        return AugmentConfig(
+            xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
+            brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1,
+        )
+
+
+def _rot2(theta):
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    z, o = jnp.zeros_like(theta), jnp.ones_like(theta)
+    return jnp.stack(
+        [jnp.stack([c, -s, z], -1), jnp.stack([s, c, z], -1),
+         jnp.stack([z, z, o], -1)], -2,
+    )
+
+
+def _translate2(tx, ty):
+    z, o = jnp.zeros_like(tx), jnp.ones_like(tx)
+    return jnp.stack(
+        [jnp.stack([o, z, tx], -1), jnp.stack([z, o, ty], -1),
+         jnp.stack([z, z, o], -1)], -2,
+    )
+
+
+def _scale2(sx, sy):
+    z, o = jnp.zeros_like(sx), jnp.ones_like(sx)
+    return jnp.stack(
+        [jnp.stack([sx, z, z], -1), jnp.stack([z, sy, z], -1),
+         jnp.stack([z, z, o], -1)], -2,
+    )
+
+
+def augment_pipe(images, key, p: float, cfg: AugmentConfig = AugmentConfig.bgc()):
+    """Apply probability-p augmentations to NCHW images in [-1,1]."""
+    N, C, H, W = images.shape
+    keys = jax.random.split(key, 16)
+    G = jnp.broadcast_to(jnp.eye(3), (N, 3, 3))
+
+    def gate(k, prob):
+        return jax.random.uniform(k, (N,)) < (prob * p)
+
+    # geometric (accumulated into one affine)
+    if cfg.xflip > 0:
+        flip = gate(keys[0], cfg.xflip)
+        sx = jnp.where(flip, -1.0, 1.0)
+        G = _scale2(sx, jnp.ones(N)) @ G
+    if cfg.rotate90 > 0:
+        on = gate(keys[1], cfg.rotate90)
+        quarter = jax.random.randint(keys[2], (N,), 0, 4)
+        theta = jnp.where(on, quarter * (np.pi / 2), 0.0)
+        G = _rot2(theta) @ G
+    if cfg.xint > 0:
+        on = gate(keys[3], cfg.xint)[:, None]
+        t = jax.random.uniform(
+            keys[4], (N, 2), minval=-cfg.xint_max, maxval=cfg.xint_max
+        )
+        t = jnp.where(on, jnp.round(t * jnp.asarray([W, H])) * 2 / jnp.asarray([W, H]), 0.0)
+        G = _translate2(t[:, 0], t[:, 1]) @ G
+    if cfg.scale > 0:
+        on = gate(keys[5], cfg.scale)
+        s = jnp.exp2(jax.random.normal(keys[6], (N,)) * cfg.scale_std)
+        s = jnp.where(on, s, 1.0)
+        G = _scale2(s, s) @ G
+    if cfg.rotate > 0:
+        on = gate(keys[7], cfg.rotate)
+        theta = jax.random.uniform(
+            keys[8], (N,), minval=-np.pi * cfg.rotate_max, maxval=np.pi * cfg.rotate_max
+        )
+        G = _rot2(jnp.where(on, theta, 0.0)) @ G
+    if cfg.aniso > 0:
+        on = gate(keys[9], cfg.aniso)
+        s = jnp.exp2(jax.random.normal(keys[10], (N,)) * cfg.aniso_std)
+        s = jnp.where(on, s, 1.0)
+        G = _scale2(s, 1 / s) @ G
+    if cfg.xfrac > 0:
+        on = gate(keys[11], cfg.xfrac)[:, None]
+        t = jax.random.normal(keys[12], (N, 2)) * cfg.xfrac_std
+        t = jnp.where(on, t, 0.0)
+        G = _translate2(t[:, 0], t[:, 1]) @ G
+
+    # resample through the inverse affine
+    if cfg.xflip + cfg.rotate90 + cfg.xint + cfg.scale + cfg.rotate + cfg.aniso + cfg.xfrac > 0:
+        Ginv = jnp.linalg.inv(G)
+        ys, xs = jnp.meshgrid(
+            jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
+        )
+        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # [H,W,3]
+        warped = jnp.einsum("nij,hwj->nhwi", Ginv, grid)[..., :2]
+        # grid built corner-aligned (linspace(-1,1)) -> align_corners=True
+        images = grid_sample_2d(
+            images, warped, padding_mode="zeros", align_corners=True
+        )
+
+    # color transforms (4x4 homogeneous color matrix)
+    Cm = jnp.broadcast_to(jnp.eye(4), (N, 4, 4))
+    v = jnp.asarray([1, 1, 1, 0], dtype=jnp.float32) / np.sqrt(3)
+
+    def cmat(diag=None, outer=None, add=None):
+        m = jnp.eye(4)
+        if diag is not None:
+            m = m * diag
+        return m
+
+    if cfg.brightness > 0:
+        on = gate(keys[13], cfg.brightness)
+        b = jnp.where(on, jax.random.normal(keys[13], (N,)) * cfg.brightness_std, 0.0)
+        T = jnp.broadcast_to(jnp.eye(4), (N, 4, 4))
+        T = T.at[:, :3, 3].set(b[:, None])
+        Cm = T @ Cm
+    if cfg.contrast > 0:
+        on = gate(keys[14], cfg.contrast)
+        c = jnp.where(on, jnp.exp2(jax.random.normal(keys[14], (N,)) * cfg.contrast_std), 1.0)
+        T = jnp.eye(4)[None] * jnp.stack([c, c, c, jnp.ones_like(c)], -1)[:, :, None]
+        Cm = T @ Cm
+    if cfg.lumaflip > 0:
+        on = gate(keys[15], cfg.lumaflip).astype(jnp.float32)
+        refl = jnp.eye(4) - 2 * jnp.outer(v, v)
+        T = jnp.eye(4)[None] * (1 - on)[:, None, None] + refl[None] * on[:, None, None]
+        Cm = T @ Cm
+    if cfg.hue > 0:
+        on = gate(keys[5], cfg.hue)
+        theta = jax.random.uniform(keys[6], (N,), minval=-np.pi * cfg.hue_max,
+                                   maxval=np.pi * cfg.hue_max)
+        theta = jnp.where(on, theta, 0.0)
+        # Rodrigues rotation about the luma axis
+        K = jnp.asarray(
+            [[0, -v[2], v[1], 0], [v[2], 0, -v[0], 0],
+             [-v[1], v[0], 0, 0], [0, 0, 0, 0]], dtype=jnp.float32,
+        )
+        T = (
+            jnp.eye(4)[None]
+            + jnp.sin(theta)[:, None, None] * K[None]
+            + (1 - jnp.cos(theta))[:, None, None] * (K @ K)[None]
+        )
+        Cm = T @ Cm
+    if cfg.saturation > 0:
+        on = gate(keys[7], cfg.saturation)
+        s = jnp.where(on, jnp.exp2(jax.random.normal(keys[8], (N,)) * cfg.saturation_std), 1.0)
+        outer_v = jnp.outer(v, v)
+        T = outer_v[None] + (jnp.eye(4)[None] - outer_v[None]) * s[:, None, None]
+        Cm = T @ Cm
+
+    if cfg.brightness + cfg.contrast + cfg.lumaflip + cfg.hue + cfg.saturation > 0:
+        flat = images.reshape(N, C, -1)
+        ones = jnp.ones_like(flat[:, :1])
+        homo = jnp.concatenate([flat, ones], axis=1)  # [N,4,HW]
+        out = jnp.einsum("nij,njp->nip", Cm, homo)[:, :3]
+        images = out.reshape(N, C, H, W)
+
+    # noise + cutout
+    if cfg.noise > 0:
+        k1, k2 = jax.random.split(keys[9])
+        on = gate(k1, cfg.noise).astype(jnp.float32)[:, None, None, None]
+        sigma = jnp.abs(jax.random.normal(k1, (N, 1, 1, 1))) * cfg.noise_std
+        images = images + jax.random.normal(k2, images.shape) * sigma * on
+    if cfg.cutout > 0:
+        k1, k2 = jax.random.split(keys[10])
+        on = gate(k1, cfg.cutout).astype(jnp.float32)[:, None, None, None]
+        center = jax.random.uniform(k2, (N, 2, 1, 1))
+        ys = jnp.linspace(0, 1, H)[None, :, None]
+        xs = jnp.linspace(0, 1, W)[None, None, :]
+        mask = (
+            (jnp.abs(ys - center[:, 0]) < cfg.cutout_size / 2)
+            & (jnp.abs(xs - center[:, 1]) < cfg.cutout_size / 2)
+        ).astype(jnp.float32)[:, None]
+        images = images * (1 - mask * on)
+    return images

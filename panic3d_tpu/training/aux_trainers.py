@@ -1,0 +1,117 @@
+"""Aux-model training: the line-filler patch GAN and the danbooru tagger.
+
+Roles:
+- rmline trainer: `_train/img2img/models/rmlineganA.py:150-298` — dual-Adam
+  patch pix2pix (generator loss = L1 + label-smoothed BCE on flipped labels,
+  discriminator on fake+real with true labels) over 21x21 patch batches
+  (`_train/img2img/datasets/rmlineE.py`).
+- tagger trainer: `_train/danbooru_tagger/models/kate.py:8-142` — ResNet50
+  multi-label BCE with F2 validation metric (provides the pretrained trunk
+  used by the feature extractor).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.rmlinegan import RMLineDiscriminator, RMLineGenerator
+
+
+def rmline_losses(gen: RMLineGenerator, dis: RMLineDiscriminator,
+                  lambda_l1=1.0, lambda_adv=1.0, label_smoothing=0.8,
+                  lerp_output=True, mask_input=True):
+    """Pure loss fns for the patch GAN (rmlineganA.py:174-233)."""
+
+    def _forward_g(vars_g, batch, train):
+        img, mask, hull = batch["image"], batch["line_mask"], batch["face_hull"]
+        x = img * (1 - mask) if mask_input else img
+        stackin = jnp.concatenate([x, hull], axis=1) if gen.use_hull else x
+        # training patches are pre-padded (patch_size >= out + 2*depth)
+        out, updates = gen.apply(
+            vars_g, stackin, train=train,
+            mutable=["batch_stats"] if train else [],
+        ) if train else (gen.apply(vars_g, stackin, train=False), None)
+        return out, updates
+
+    def _dis_logits(vars_d, image, mask, hull, train):
+        stackin = jnp.concatenate([image, hull], axis=1) if dis.use_hull else image
+        if train:
+            return dis.apply(vars_d, stackin, train=True, mutable=["batch_stats"])
+        return dis.apply(vars_d, stackin, train=False), None
+
+    def g_loss(params_g, vars_g_rest, vars_d, batch):
+        vars_g = {"params": params_g, **vars_g_rest}
+        out, updates = _forward_g(vars_g, batch, train=True)
+        pred = out
+        gt = batch["target"]
+        if lerp_output:
+            # crop mask/target to generator output size (valid convs shrink)
+            crop = (batch["image"].shape[-1] - pred.shape[-1]) // 2
+            sl = slice(crop, batch["image"].shape[-1] - crop) if crop else slice(None)
+            gt_c = gt[..., sl, sl]
+            mask_c = batch["line_mask"][..., sl, sl]
+            pred = gt_c + (pred - gt_c) * mask_c
+        else:
+            gt_c = gt
+        loss_l1 = jnp.mean(jnp.abs(pred - gt_c), axis=(1, 2, 3))
+        # adversarial: generator wants D to say 'real' (flipped labels)
+        crop2 = (batch["face_hull"].shape[-1] - pred.shape[-1]) // 2
+        sl2 = slice(crop2, batch["face_hull"].shape[-1] - crop2) if crop2 else slice(None)
+        logits, _ = _dis_logits(
+            vars_d, pred, None, batch["face_hull"][..., sl2, sl2], train=False
+        )
+        sm = label_smoothing
+        target = jnp.ones_like(logits) * sm + sm / 2
+        loss_adv = optax.sigmoid_binary_cross_entropy(logits, target)
+        loss = jnp.mean(lambda_l1 * loss_l1 + lambda_adv * loss_adv)
+        return loss, (updates, {"g_l1": jnp.mean(loss_l1), "g_adv": jnp.mean(loss_adv)})
+
+    def d_loss(params_d, vars_d_rest, vars_g, batch, real_label):
+        vars_d = {"params": params_d, **vars_d_rest}
+        out, _ = _forward_g(vars_g, batch, train=False)
+        pred = jax.lax.stop_gradient(out)
+        crop = (batch["image"].shape[-1] - pred.shape[-1]) // 2
+        sl = slice(crop, batch["image"].shape[-1] - crop) if crop else slice(None)
+        gt_c = batch["target"][..., sl, sl]
+        mask_c = batch["line_mask"][..., sl, sl]
+        if lerp_output:
+            pred = gt_c + (pred - gt_c) * mask_c
+        image = jnp.where(real_label[:, None, None, None] > 0.5, gt_c, pred)
+        logits, updates = _dis_logits(
+            vars_d, image, None, batch["face_hull"][..., sl, sl], train=True
+        )
+        sm = label_smoothing
+        target = real_label * sm + sm / 2
+        loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, target))
+        return loss, (updates, {"d_bce": loss})
+
+    return g_loss, d_loss
+
+
+# ---------------------------------------------------------------------------
+# tagger (kate)
+
+def tagger_loss(resnet, variables, images, labels, train_key=None):
+    """Multi-label BCE over tag logits (kate.py:8-142)."""
+    taps = resnet.apply(variables, images, return_taps=True)
+    logits = taps["fc"]
+    loss = jnp.mean(optax.sigmoid_binary_cross_entropy(logits, labels))
+    return loss, logits
+
+
+def f_beta(logits, labels, beta: float = 2.0, thresh: float = 0.5):
+    """F2 validation metric (kate.py)."""
+    pred = jax.nn.sigmoid(logits) > thresh
+    labels = labels > 0.5
+    tp = jnp.sum(pred & labels, axis=-1)
+    fp = jnp.sum(pred & ~labels, axis=-1)
+    fn = jnp.sum(~pred & labels, axis=-1)
+    b2 = beta * beta
+    denom = (1 + b2) * tp + b2 * fn + fp
+    return jnp.mean(jnp.where(denom > 0, (1 + b2) * tp / denom, 0.0))

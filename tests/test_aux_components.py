@@ -1,0 +1,181 @@
+"""Tests: export (ply/mrc), ADA augment, misc, GAN metrics, rmline pipeline,
+resnet extractor, lpips/clip shapes, video quickspin."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+
+def test_ply_roundtrip(tmp_path):
+    from panic3d_tpu.eval.export import load_ply, save_ply
+
+    rng = np.random.RandomState(0)
+    v = rng.randn(10, 3).astype(np.float32)
+    f = rng.randint(0, 10, (6, 3)).astype(np.int32)
+    c = rng.rand(10, 3).astype(np.float32)
+    p = str(tmp_path / "m.ply")
+    save_ply(p, v, f, c)
+    v2, f2, c2 = load_ply(p)
+    np.testing.assert_allclose(v2, v, rtol=1e-6)
+    np.testing.assert_array_equal(f2, f)
+    np.testing.assert_allclose(c2, c, atol=1 / 255 + 1e-6)
+
+
+def test_mrc_writes(tmp_path):
+    from panic3d_tpu.eval.export import save_mrc
+
+    vol = np.random.RandomState(0).rand(8, 8, 8).astype(np.float32)
+    p = save_mrc(str(tmp_path / "v.mrc"), vol)
+    import os
+
+    assert os.path.getsize(p) == 1024 + vol.nbytes
+
+
+def test_augment_pipe_zero_p_identity():
+    from panic3d_tpu.training.augment import augment_pipe
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 3, 16, 16).astype(np.float32))
+    out = augment_pipe(x, jax.random.PRNGKey(0), p=0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+def test_augment_pipe_full_p_changes_and_finite():
+    from panic3d_tpu.training.augment import augment_pipe, AugmentConfig
+
+    x = jnp.asarray(np.random.RandomState(0).randn(4, 3, 16, 16).astype(np.float32))
+    cfg = AugmentConfig(
+        xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
+        brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1,
+        noise=1, cutout=1,
+    )
+    out = augment_pipe(x, jax.random.PRNGKey(1), p=1.0, cfg=cfg)
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert not np.allclose(np.asarray(out), np.asarray(x))
+
+
+def test_assert_shape_and_summary():
+    from panic3d_tpu.utils.misc import assert_shape, count_params, print_module_summary
+
+    assert_shape(jnp.zeros((2, 3, 4)), (2, None, 4))
+    with pytest.raises(AssertionError):
+        assert_shape(jnp.zeros((2, 3)), (2, 4))
+    tree = {"params": {"a": {"w": jnp.zeros((3, 4))}, "b": {"w": jnp.zeros(5)}}}
+    assert count_params(tree) == 17
+    assert print_module_summary(None, tree) == 17
+
+
+def test_fid_kid_math():
+    from panic3d_tpu.eval.gan_metrics import (
+        FeatureStats, calc_metric, frechet_distance, is_valid_metric, kid_mmd,
+    )
+
+    rng = np.random.RandomState(0)
+    a = rng.randn(500, 16)
+    b = rng.randn(500, 16) + 0.0
+    # identical distributions -> small FID; shifted -> larger
+    sa, sb = FeatureStats(), FeatureStats()
+    sa.append(a)
+    sb.append(b)
+    fid_same = frechet_distance(*sa.get_mean_cov(), *sb.get_mean_cov())
+    sc = FeatureStats()
+    sc.append(b + 3.0)
+    fid_shift = frechet_distance(*sa.get_mean_cov(), *sc.get_mean_cov())
+    assert fid_shift > fid_same
+    assert fid_shift > 100
+    k_same = kid_mmd(a, b, num_subsets=5, max_subset_size=200)
+    k_shift = kid_mmd(a, b + 3.0, num_subsets=5, max_subset_size=200)
+    assert k_shift > k_same
+    assert is_valid_metric("fid50k_full")
+    r = calc_metric("fid50k_full", gen_features=b, real_features=a)
+    assert np.isfinite(r["results"]["fid50k_full"])
+
+
+def test_rmline_generator_shapes():
+    from panic3d_tpu.models.rmlinegan import (
+        RMLineGenerator, facehull, generator_forward, lerp_output,
+    )
+
+    gen = RMLineGenerator()
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32))
+    mask = (jnp.asarray(np.random.RandomState(1).rand(1, 1, 64, 64)) > 0.8).astype(
+        jnp.float32
+    )
+    hull = jnp.zeros((1, 1, 64, 64))
+    stackin = jnp.concatenate([img * (1 - mask), hull], axis=1)
+    d = gen.depth
+    stackin_p = jnp.pad(stackin, ((0, 0), (0, 0), (d, d), (d, d)), mode="edge")
+    variables = gen.init(jax.random.PRNGKey(0), stackin_p)
+    out = generator_forward(gen, variables, img, mask, hull)
+    assert out.shape == (1, 3, 64, 64)
+    final = lerp_output(img, out, mask)
+    assert np.isfinite(np.asarray(final)).all()
+
+    kpts = np.random.RandomState(2).rand(28, 2) * 60
+    fh = facehull((64, 64), kpts)
+    assert fh.shape == (1, 1, 64, 64)
+    assert fh.max() == 1.0
+
+
+def test_rmline_wrapper_end_to_end():
+    from panic3d_tpu.models.rmlinegan import RMLineGenerator, RMLineWrapper
+
+    gen = RMLineGenerator()
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 3, 64, 64).astype(np.float32))
+    d = gen.depth
+    stackin = jnp.zeros((1, 4, 64 + 2 * d, 64 + 2 * d))
+    variables = gen.init(jax.random.PRNGKey(0), stackin)
+    kpts = np.random.RandomState(2).rand(28, 2) * 60
+    out, mask, hull = RMLineWrapper(gen, variables)(img, kpts)
+    assert out.shape == (1, 3, 64, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_resnet_extractor_shapes():
+    from panic3d_tpu.models.resnet import ResNet50, ResnetFeatureExtractorPCA
+
+    resnet = ResNet50(num_classes=10)
+    x = jnp.zeros((1, 3, 64, 64))
+    variables = resnet.init(jax.random.PRNGKey(0), x)
+    taps = resnet.apply(variables, x, return_taps=True)
+    assert taps["layer4"].shape == (1, 2048, 2, 2)
+    assert taps["fc"].shape == (1, 10)
+
+    rng = np.random.RandomState(0)
+    ext = ResnetFeatureExtractorPCA(
+        resnet, variables, rng.randn(8, 2048).astype(np.float32),
+        np.zeros(2048, np.float32), dim_out=8,
+    )
+    chonk = ext(jnp.zeros((3, 64, 64)))
+    assert chonk.shape == (2, 8, 2, 2)
+    feats = ext.global_feats(jnp.zeros((3, 64, 64)))
+    assert feats.shape == (2, 8)
+
+
+def test_lpips_and_clip_shapes():
+    from panic3d_tpu.eval.lpips import LPIPS
+    from panic3d_tpu.eval.metrics2d import CLIPSimilarity, psnr
+
+    a = jnp.zeros((2, 3, 64, 64))
+    b = jnp.ones((2, 3, 64, 64)) * 0.5
+    m = LPIPS()
+    v = m.init(jax.random.PRNGKey(0), a, b)
+    d = m.apply(v, a, b)
+    assert d.shape == (2,)
+    assert float(jnp.abs(m.apply(v, a, a)).max()) < 1e-6
+
+    p = psnr(a, a + 0.1)
+    np.testing.assert_allclose(float(p), 20.0, atol=0.1)
+
+    clip = CLIPSimilarity()
+    s = clip(a[:1], a[:1])
+    np.testing.assert_allclose(float(s[0]), 1.0, atol=1e-3)
+
+
+def test_tagger_loss_and_f2():
+    from panic3d_tpu.training.aux_trainers import f_beta
+
+    logits = jnp.asarray([[10.0, -10.0, 10.0]])
+    labels = jnp.asarray([[1.0, 0.0, 1.0]])
+    assert float(f_beta(logits, labels)) == 1.0
