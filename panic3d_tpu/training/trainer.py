@@ -242,7 +242,12 @@ def main(argv=None):
                   else init_lpips())
     loss = make_loss(g, d, lpips_vars, loss_cfg)
 
-    mesh = make_mesh()
+    import jax as _jax
+
+    n_data = min(len(_jax.devices()), args.batch)
+    while args.batch % n_data:
+        n_data -= 1
+    mesh = make_mesh(n_data=n_data, n_rays=1)
     steps = {}  # phase-tuple -> compiled step
 
     collector = Collector()
