@@ -370,9 +370,13 @@ class TriPlaneGenerator(nn.Module):
             latent_injection = li
 
         # latents
+        single_z = False
         if "zs" not in x and "ws" not in x:
             if "z" not in x:
                 x["z"] = jnp.asarray(seeds_to_z(x["seeds"], self.z_dim))
+            # all z+ slots share one z: plain mapping (broadcast) is
+            # mathematically identical to mapping_zplus and num_ws x cheaper
+            single_z = True
             x["zs"] = jnp.broadcast_to(
                 x["z"][:, None, :], (x["z"].shape[0], self.num_ws, self.z_dim)
             )
@@ -418,11 +422,18 @@ class TriPlaneGenerator(nn.Module):
 
         cond = x.get("cond")
         if "ws" not in x:
-            x["ws"] = self.mapping_zplus(
-                x["zs"], x["conditioning_params"], cond,
-                truncation_psi=truncation_psi,
-                truncation_cutoff=truncation_cutoff,
-            )
+            if single_z:
+                x["ws"] = self.mapping(
+                    x["z"], x["conditioning_params"], cond,
+                    truncation_psi=truncation_psi,
+                    truncation_cutoff=truncation_cutoff,
+                )
+            else:
+                x["ws"] = self.mapping_zplus(
+                    x["zs"], x["conditioning_params"], cond,
+                    truncation_psi=truncation_psi,
+                    truncation_cutoff=truncation_cutoff,
+                )
 
         _ws = x["ws"]
         if latent_injection is not None:

@@ -120,6 +120,7 @@ def ray_march(colors, densities, depths, white_back: bool):
     colors [B,R,S,C], densities [B,R,S,1], depths [B,R,S,1]
     -> (composite [B,R,C], depth [B,R,1], weights [B,R,S-1,1]).
     """
+    colors = colors.astype(jnp.float32)  # composite math always fp32
     deltas = depths[:, :, 1:] - depths[:, :, :-1]
     colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
     densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
@@ -303,16 +304,12 @@ def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
         C = a.shape[-1]
         return jnp.take(a.reshape(B * R * S, C), gidx, axis=0).reshape(B, R, S, C)
 
-    # one fused gather for everything that rides the same order
-    packed = jnp.concatenate([depths, colors, densities, xyz], axis=-1)
-    out = take(packed)
-    cC = colors.shape[-1]
-    return (
-        out[..., :1],
-        out[..., 1 : 1 + cC],
-        out[..., 1 + cC : 2 + cC],
-        out[..., 2 + cC :],
-    )
+    # colors (the wide block) reorder at their native dtype (bf16 when the
+    # render runs bf16); depth/sigma/xyz ride a narrow fp32 gather
+    pack_precise = jnp.concatenate([depths, densities, xyz], axis=-1)
+    out_p = take(pack_precise)
+    out_c = take(colors)
+    return out_p[..., :1], out_c, out_p[..., 1:2], out_p[..., 2:]
 
 
 # ---------------------------------------------------------------------------
@@ -399,7 +396,9 @@ def render(
         sigma = _apply_density_filters(
             sigma, coords, box_warp, triplane_crop, cull_clouds, binarize_clouds
         )
-        rgb = rgb.reshape(N, R, n_samples, -1)
+        # colors travel at render_dtype through the sort-reorder; composite
+        # math upcasts (ray_march)
+        rgb = rgb.astype(render_dtype).reshape(N, R, n_samples, -1)
         sigma = sigma.reshape(N, R, n_samples, 1)
         xyz = coords.reshape(N, R, n_samples, 3)
         return rgb, sigma, xyz
