@@ -51,7 +51,7 @@ def main(argv=None):
     from ..models.triplane import TriPlaneGenerator
     from ..runtime.checkpoint import load_checkpoint
     from ..utils.imglib import Img, from_model_output
-    from .volume import get_volume, marching_cubes
+    from .volume import extract_mesh
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", required=True, help="converted G_ema checkpoint dir")
@@ -111,10 +111,9 @@ def main(argv=None):
             "resnet_chonk": chonk[None, 0],
         }
 
-        # geometry
+        # geometry (transfer-optimized; numerics per eg3d_metrics3d.py)
         xin = {"cond": cond, "seeds": [args.seed], **INFERENCE_OPTS}
-        vol = get_volume(g, variables, xin)
-        mc = marching_cubes(vol.densities[0, 0], vol.rgbs[0, :3], bw, level=0.5)
+        mc = extract_mesh(g, variables, xin, level=0.5)
         fn_march = os.path.join(
             edn, bn.replace("fandom_align", "marching_cubes") + ".pkl"
         )

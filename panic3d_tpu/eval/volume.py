@@ -33,18 +33,62 @@ def sigma2density(sigma):
 
 
 def create_samples(N: int, cube_length: float) -> np.ndarray:
-    """The reference's voxel grid layout (eg3d_metrics3d.py:70-92):
-    flat index i -> (x = i // N², y = (i // N) % N, z = i % N), coordinates
-    with x<->z swapped origin offsets."""
-    origin = -cube_length / 2
-    voxel_size = cube_length / (N - 1)
-    idx = np.arange(N**3, dtype=np.int64)
+    """The reference's voxel grid layout (eg3d_metrics3d.py:70-92),
+    including its float-division quirk: columns 0/1 use FLOAT division of
+    the flat index (`(i.float()/N) % N`), so x and y coordinates carry a
+    fractional drift with the z index — the sample lattice is slightly
+    sheared (a DeepSDF-inherited behavior the reference meshes bake in;
+    the drift is up to one voxel, which is on the order of the F1@5
+    threshold, so it must be replicated for metric parity)."""
+    origin = np.float32(-cube_length / 2)
+    voxel_size = np.float32(cube_length / (N - 1))
+    idx = np.arange(N**3, dtype=np.float32)  # fp32 like the reference
     s = np.zeros((N**3, 3), dtype=np.float32)
-    s[:, 2] = idx % N
-    s[:, 1] = (idx // N) % N
-    s[:, 0] = (idx // N // N) % N
+    s[:, 2] = np.arange(N**3, dtype=np.int64) % N
+    s[:, 1] = np.mod(idx / np.float32(N), np.float32(N))
+    s[:, 0] = np.mod(idx / np.float32(N) / np.float32(N), np.float32(N))
     s = s * voxel_size + origin
     return s
+
+
+_DECODER_CACHE = {}
+
+
+def _cached_decoder(G: "TriPlaneGenerator"):
+    """One compiled planes+decode pipeline per generator config (avoids
+    re-jitting — and re-compiling — on every get_volume call)."""
+    key = (id(G),)
+    if key not in _DECODER_CACHE:
+
+        @jax.jit
+        def planes_from_z(variables, z, cam, cond):
+            ws = G.apply(variables, z, cam, cond, method=TriPlaneGenerator.mapping)
+            return ws, G.apply(
+                variables, ws, cond, noise_mode="const",
+                method=TriPlaneGenerator._planes_from_ws,
+            )
+
+        @jax.jit
+        def planes_from_ws(variables, ws, cond):
+            return G.apply(
+                variables, ws, cond, noise_mode="const",
+                method=TriPlaneGenerator._planes_from_ws,
+            )
+
+        @jax.jit
+        def decode_all(variables, planes, chunks):
+            def body(coords):
+                out = G.apply(
+                    variables, planes, coords[None],
+                    method=TriPlaneGenerator.sample_mixed_planes,
+                )
+                return out["sigma"][0], out["rgb"][0]
+
+            sig, rgb = jax.lax.map(body, chunks)
+            return sig.reshape(-1, 1), rgb.reshape(-1, rgb.shape[-1])
+
+        _DECODER_CACHE[key] = (planes_from_z, planes_from_ws, decode_all)
+    return _DECODER_CACHE[key]
 
 
 def get_volume(
@@ -62,7 +106,8 @@ def get_volume(
     triplane_crop = xin.get("triplane_crop", triplane_crop)
     cull_clouds = xin.get("cull_clouds", cull_clouds)
 
-    # one forward to resolve ws (eg3d_metrics3d.py:100-109)
+    # resolve ws + planes in one compiled pipeline (eg3d_metrics3d.py:100-109)
+    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G)
     xin_ = dict(xin)
     xin_.setdefault("elevations", jnp.zeros(1))
     xin_.setdefault("azimuths", jnp.zeros(1))
@@ -78,20 +123,9 @@ def get_volume(
             jnp.ones_like(xin_["elevations"]),
             30 * jnp.ones_like(xin_["elevations"]),
         )
-        zs = jnp.broadcast_to(
-            xin_["z"][:, None, :], (xin_["z"].shape[0], G.num_ws, G.z_dim)
-        )
-        ws = G.apply(
-            variables, zs, cam, xin_.get("cond"),
-            method=TriPlaneGenerator.mapping_zplus,
-        )
+        _, planes = planes_from_z(variables, xin_["z"], cam, xin_.get("cond"))
     else:
-        ws = xin_["ws"]
-
-    planes = G.apply(
-        variables, ws, xin_.get("cond"), noise_mode="const",
-        method=TriPlaneGenerator._planes_from_ws,
-    )
+        planes = planes_from_ws(variables, xin_["ws"], xin_.get("cond"))
 
     samples = create_samples(resolution, bw)
     n = samples.shape[0]
@@ -99,19 +133,7 @@ def get_volume(
     samples_p = np.pad(samples, ((0, pad), (0, 0)))
     chunks = jnp.asarray(samples_p.reshape(-1, chunk, 3))
 
-    @jax.jit
-    def decode_all(planes, chunks):
-        def body(coords):
-            out = G.apply(
-                variables, planes, coords[None],
-                method=TriPlaneGenerator.sample_mixed_planes,
-            )
-            return out["sigma"][0], out["rgb"][0]
-
-        sig, rgb = jax.lax.map(body, chunks)
-        return sig.reshape(-1, 1), rgb.reshape(-1, rgb.shape[-1])
-
-    sigmas, rgbs = decode_all(planes, chunks)
+    sigmas, rgbs = decode_all(variables, planes, chunks)
     sigmas = sigmas[:n][None]
     rgbs = rgbs[:n][None]
 
@@ -136,6 +158,119 @@ def get_volume(
         sigmas=np.asarray(fmt(sigmas)),
         rgbs=np.asarray(fmt(rgbs)),
         densities=np.asarray(fmt(densities)),
+    )
+
+
+def extract_mesh(
+    G: TriPlaneGenerator,
+    variables,
+    xin: dict,
+    resolution: int = 256,
+    chunk: int = 2**17,
+    level: float = 0.5,
+    density_dtype=jnp.float16,
+) -> Dict:
+    """Portrait -> colored mesh, host-transfer-optimized.
+
+    Same numerics as get_volume + marching_cubes, but only the 1-channel
+    density grid crosses to the host (fp16, ~33 MB at 256³ instead of the
+    ~2.4 GB full volume); vertex colors are gathered on-device at the
+    extracted vertices. This is the production path for eval.generate's
+    GEOMETRY stage; get_volume remains for full-volume consumers.
+    """
+    rk = G.rk
+    bw = rk["box_warp"]
+    triplane_crop = xin.get("triplane_crop")
+    cull_clouds = xin.get("cull_clouds")
+
+    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G)
+    xin_ = dict(xin)
+    xin_.setdefault("elevations", jnp.zeros(1))
+    xin_.setdefault("azimuths", jnp.zeros(1))
+    if "ws" not in xin_:
+        if "zs" not in xin_ and "z" not in xin_ and "seeds" in xin_:
+            from ..models.triplane import seeds_to_z
+
+            xin_["z"] = jnp.asarray(seeds_to_z(xin_["seeds"], G.z_dim))
+        from ..cameras.conventions import camera_label
+
+        cam = camera_label(
+            xin_["elevations"], xin_["azimuths"],
+            jnp.ones_like(xin_["elevations"]),
+            30 * jnp.ones_like(xin_["elevations"]),
+        )
+        _, planes = planes_from_z(variables, xin_["z"], cam, xin_.get("cond"))
+    else:
+        planes = planes_from_ws(variables, xin_["ws"], xin_.get("cond"))
+
+    N = resolution
+    samples = create_samples(N, bw)
+    pad = (-samples.shape[0]) % chunk
+    chunks = jnp.asarray(np.pad(samples, ((0, pad), (0, 0))).reshape(-1, chunk, 3))
+
+    key = ("mesh", id(G), bool(triplane_crop), bool(cull_clouds),
+           jnp.dtype(density_dtype).name)
+    if key not in _DECODER_CACHE:
+
+        @jax.jit
+        def density_grid(variables, planes, chunks, tc, cc):
+            sig, _ = decode_all(variables, planes, chunks)
+            d = sigma2density(sig[None])
+            coords = chunks.reshape(1, -1, 3)[:, : d.shape[1]]
+            if triplane_crop:
+                d = jnp.where(triplane_crop_mask(coords, tc, bw), -1e3, d)
+            if cull_clouds:
+                d = jnp.where(cull_clouds_mask(d, cc), -1e3, d)
+            return d.astype(density_dtype)
+
+        _DECODER_CACHE[key] = density_grid
+    density_grid = _DECODER_CACHE[key]
+
+    n = N**3
+    d = density_grid(
+        variables, planes, chunks,
+        triplane_crop or 0.0, cull_clouds or 0.0,
+    )[0, :n, 0]
+    vol = np.asarray(d, dtype=np.float32).reshape(N, N, N)[::-1]  # flip axis 0
+
+    from ..runtime.native_ops import marching_tetrahedra
+
+    verts, faces = marching_tetrahedra(np.ascontiguousarray(vol), level)
+
+    colors = np.zeros((len(verts), 3), np.float32)
+    if len(verts):
+        # vertex colors: decode rgb at the vertex world coords on-device
+        # (reference samples the rgb volume at integer vertex indices,
+        # eg3d_metrics3d.py:197-200; decoding at the exact vertex position
+        # is the same value up to trilinear interpolation)
+        vi = verts.astype(np.float32)
+        # invert the grid formatting: world coords of (flipped) grid indices,
+        # including the reference's fractional x/y drift (see create_samples)
+        voxel = bw / (N - 1)
+        x_idx = N - 1 - vi[:, 0]
+        y_idx = vi[:, 1]
+        z_idx = vi[:, 2]
+        world = np.stack(
+            [
+                (x_idx + y_idx / N + z_idx / (N * N)) * voxel - bw / 2,
+                (y_idx + z_idx / N) * voxel - bw / 2,
+                z_idx * voxel - bw / 2,
+            ],
+            axis=1,
+        )
+        pad_v = (-len(world)) % 1024
+        wq = jnp.asarray(np.pad(world, ((0, pad_v), (0, 0)))[None])
+        out = G.apply(variables, planes, wq,
+                      method=TriPlaneGenerator.sample_mixed_planes)
+        colors = np.asarray(out["rgb"][0, : len(verts), :3], dtype=np.float32)
+
+    verts_w = verts / N * bw - 0.5 * bw
+    return Dict(
+        verts=verts_w.astype(np.float32),
+        faces=faces,
+        normals=None,
+        values=None,
+        colors=np.clip(colors, 0, 1),
     )
 
 

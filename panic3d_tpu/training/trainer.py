@@ -84,6 +84,29 @@ def parse_args(argv=None):
     return ap.parse_args(argv)
 
 
+def _snapshot_images(g, state, batch, snap_dir):
+    """G_ema sample grid at snapshot time (training_loop_v0.py:435-443)."""
+    try:
+        import jax.numpy as jnp
+
+        from ..eval.viewer import save_grid
+        from ..models.triplane import TriPlaneGenerator
+
+        bs = batch["image"].shape[0]
+        xin = {
+            "z": jnp.zeros((bs, g.z_dim)),
+            "camera_params": batch["camera"],
+            "cond": batch["cond"],
+            "normalize_images": True,
+        }
+        out = g.apply(state.vars_Gema, xin, method=TriPlaneGenerator.f,
+                      noise_mode="const")
+        imgs = np.asarray(out["image"]) * 0.5 + 0.5
+        save_grid(list(imgs), os.path.join(snap_dir, "fakes.png"))
+    except Exception as e:  # snapshot imaging must never kill training
+        print(f"snapshot image failed: {e}")
+
+
 def find_resume(run_dir: str):
     """Auto-resume: newest snapshot dir (train_eclustrousC.py:301-337 role)."""
     if not os.path.isdir(run_dir):
@@ -278,6 +301,7 @@ def main(argv=None):
         if step_i % (tick_interval * args.snap) == 0 and step_i > 0:
             snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
             save_checkpoint(snap, jax.device_get(state), config=vars(args))
+            _snapshot_images(g, state, batch, snap)
             print(f"saved {snap}")
 
     snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
