@@ -45,6 +45,9 @@ _ALIASES = {
         "daredemoE/fandom_align_rmlineEA",
         "daredemoE/dorthoA",
     ),
+    # xyz maps share the rgb view's render params
+    "rutileE/rgb/": ("rutileE/xyza",),
+    "daredemoE/rgb60/": ("daredemoE/xyza60",),
 }
 
 
@@ -106,6 +109,6 @@ class DatabackendMinna:
         )
         if "image" in self.dtypes:
             ret["image"] = Img(os.path.join(self.dn, "renders", f"{bn}.png"))
-        if "render_params" in self.dtypes:
+        if "render_params" in self.dtypes and bn in self.rp_meta:
             ret["render_params"] = self.rp_meta[bn]["render_params"]
         return ret
