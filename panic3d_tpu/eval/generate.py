@@ -54,18 +54,35 @@ def main(argv=None):
     from .volume import extract_mesh
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", required=True, help="converted G_ema checkpoint dir")
+    ap.add_argument("--ckpt", default=None, help="converted G_ema checkpoint dir")
     ap.add_argument("--data", default=".", help="dir containing _data/lustrous")
     ap.add_argument("--out", default=None)
     ap.add_argument("--name", default="ecrutileE_eclustrousC_n120-00000-000200")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--subset", default="daredemoE_test")
     ap.add_argument("--skip-rmline", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + random init (pipeline smoke test)")
+    ap.add_argument("--mesh-res", type=int, default=256)
+    ap.add_argument("--level", type=float, default=0.5,
+                    help="marching-cubes iso level (reference: 0.5)")
+    ap.add_argument("--no-filters", action="store_true",
+                    help="disable triplane_crop/cull_clouds (random-init smoke)")
     args = ap.parse_args(argv)
 
+    opts = dict(INFERENCE_OPTS)
+    if args.no_filters:
+        opts.pop("triplane_crop"); opts.pop("cull_clouds")
+
     edn = args.out or f"./temp/eval/{args.name}"
-    variables, config = load_checkpoint(args.ckpt)
-    g = configs.flagship(eval_mode=True, **(config or {}).get("model_kwargs", {}))
+    if args.tiny:
+        g = configs.tiny(force_sigmoid=True)
+        variables = None  # random init below
+    else:
+        assert args.ckpt, "--ckpt required unless --tiny"
+        variables, config = load_checkpoint(args.ckpt)
+        g = configs.flagship(eval_mode=True,
+                             **(config or {}).get("model_kwargs", {}))
 
     dk = DatabackendMinna(args.data)
     subset_csv = os.path.join(
@@ -108,12 +125,23 @@ def main(argv=None):
         chonk = resnet(jnp.asarray(img.bg("k").convert("RGB").t()))
         cond = {
             "image_ortho_front": jnp.asarray(img_rmline)[None],
-            "resnet_chonk": chonk[None, 0],
+            "resnet_chonk": chonk[None, 0, : 512 if not args.tiny else 16],
         }
 
+        if variables is None:  # --tiny: random init once cond shapes known
+            import jax
+
+            variables = g.init(
+                {"params": jax.random.PRNGKey(0)},
+                {"seeds": [0], "elevations": jnp.zeros(1),
+                 "azimuths": jnp.zeros(1), "cond": cond},
+                method=TriPlaneGenerator.f, noise_mode="const",
+            )
+
         # geometry (transfer-optimized; numerics per eg3d_metrics3d.py)
-        xin = {"cond": cond, "seeds": [args.seed], **INFERENCE_OPTS}
-        mc = extract_mesh(g, variables, xin, level=0.5)
+        xin = {"cond": cond, "seeds": [args.seed], **opts}
+        mc = extract_mesh(g, variables, xin, level=args.level,
+                          resolution=args.mesh_res)
         fn_march = os.path.join(
             edn, bn.replace("fandom_align", "marching_cubes") + ".pkl"
         )
@@ -129,7 +157,7 @@ def main(argv=None):
                 "fovs": jnp.asarray([float(fov)]),
                 "cond": cond,
                 "seeds": [args.seed],
-                **INFERENCE_OPTS,
+                **opts,
             }
             out = g.apply(
                 variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
@@ -170,6 +198,9 @@ def _load_rmline(args):
     from ..models.rmlinegan import RMLineGenerator, RMLineWrapper
     from ..runtime.checkpoint import load_checkpoint
 
+    if not args.ckpt:
+        print("WARNING: no rmline checkpoint; skipping line filling")
+        return None
     path = os.path.join(os.path.dirname(args.ckpt), "rmline")
     if not os.path.isdir(path):
         print("WARNING: no rmline checkpoint found; skipping line filling")
@@ -184,9 +215,10 @@ def _load_resnet(args):
     from ..models.resnet import ResNet50, ResnetFeatureExtractorPCA
     from ..runtime.checkpoint import load_checkpoint
 
-    path = os.path.join(os.path.dirname(args.ckpt), "resnet")
+    path = (os.path.join(os.path.dirname(args.ckpt), "resnet")
+            if args.ckpt else "")
     resnet = ResNet50()
-    if os.path.isdir(path):
+    if path and os.path.isdir(path):
         variables, cfg = load_checkpoint(path)
         pca_w = np.asarray(cfg["pca_components"]) if cfg else None
         pca_m = np.asarray(cfg["pca_mean"]) if cfg else None

@@ -69,6 +69,8 @@ def main(argv=None):
     ap.add_argument("--subset", default="daredemoE_test")
     ap.add_argument("--clip-weights", default=None)
     ap.add_argument("--lpips-weights", default=None)
+    ap.add_argument("--roi-space", type=int, default=512,
+                    help="pixel space the alignment ROIs are defined in")
     args = ap.parse_args(argv)
 
     edn = args.out or f"./temp/eval/{args.name}"
@@ -97,14 +99,29 @@ def main(argv=None):
         )
         print("WARNING: random-init LPIPS/CLIP — values not paper-comparable")
 
+    rs = args.roi_space
+
     def crop_t(img: Img, roi):
+        # ROIs live in --roi-space pixels (512 for the real benchmark);
+        # crop fractionally so differently-sized images stay comparable
         (fcx, fcy), (fsx, fsy) = roi
         arr = img.convert("RGBA").bg("w").convert("RGB").t()
-        return arr[:, int(fcx) : int(fcx + fsx), int(fcy) : int(fcy + fsy)]
+        h, w = arr.shape[-2:]
+        r0, r1 = int(fcx * h / rs), int((fcx + fsx) * h / rs)
+        c0, c1 = int(fcy * w / rs), int((fcy + fsy) * w / rs)
+        return arr[:, r0:max(r1, r0 + 1), c0:max(c1, c0 + 1)]
 
     def run2d(pred: Img, gt: Img, roi):
+        import jax as _jax
+
         a = jnp.asarray(crop_t(pred, roi))[None]
         b = jnp.asarray(crop_t(gt, roi))[None]
+        if a.shape != b.shape:  # mixed-resolution smoke runs
+            a = _jax.image.resize(a, b.shape, method="bilinear")
+        if min(b.shape[-2:]) < 64:  # below AlexNet's receptive field
+            shape = b.shape[:2] + (max(64, b.shape[-2]), max(64, b.shape[-1]))
+            a = _jax.image.resize(a, shape, method="bilinear")
+            b = _jax.image.resize(b, shape, method="bilinear")
         return {
             "clip": float(clip_sim(a, b)[0]),
             "lpips": float(jnp.mean(lpips_mod.apply(lpips_vars, a * 2 - 1, b * 2 - 1))),
@@ -119,8 +136,8 @@ def main(argv=None):
 
     for bn in bns:
         roi = aligndata[bn]["area_of_interest"]
-        roi_horiz = ((roi[0][0], 0), (roi[1][0], 512))
-        roi_back = ((roi[0][0], 512 - (roi[0][1] + roi[1][1])), (roi[1][0], roi[1][1]))
+        roi_horiz = ((roi[0][0], 0), (roi[1][0], rs))
+        roi_back = ((roi[0][0], rs - (roi[0][1] + roi[1][1])), (roi[1][0], roi[1][1]))
 
         # ---- 2d ----
         gt = dk[bn.replace("fandom_align", "ortho")]["image"]

@@ -135,6 +135,13 @@ class ResnetFeatureExtractorPCA:
         self.pb = jnp.asarray(pca_mean)  # [2048]
 
     def preprocess(self, img):
+        # the reference extractor resizes to 256 internally
+        # (katebackbone.py: tv.transforms.Resize), so layer4 is always 8x8
+        if img.shape[-1] != 256 or img.shape[-2] != 256:
+            img = jax.image.resize(
+                img, img.shape[:-2] + (256, 256), method="bilinear",
+                antialias=img.shape[-1] > 256,
+            )
         mean = jnp.asarray(IMAGENET_MEAN)[:, None, None]
         std = jnp.asarray(IMAGENET_STD)[:, None, None]
         return (img - mean) / std

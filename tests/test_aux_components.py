@@ -147,8 +147,9 @@ def test_resnet_extractor_shapes():
         resnet, variables, rng.randn(8, 2048).astype(np.float32),
         np.zeros(2048, np.float32), dim_out=8,
     )
+    # extractor resizes to 256 internally -> layer4 is always 8x8
     chonk = ext(jnp.zeros((3, 64, 64)))
-    assert chonk.shape == (2, 8, 2, 2)
+    assert chonk.shape == (2, 8, 8, 8)
     feats = ext.global_feats(jnp.zeros((3, 64, 64)))
     assert feats.shape == (2, 8)
 
