@@ -27,10 +27,10 @@ def main():
     from panic3d_tpu.models.triplane import TriPlaneGenerator
     from __graft_entry__ import _flagship_inputs
 
-    # bs=1 is the per-chip optimum on v5e (larger batches scale
-    # superlinearly in cost — gather working sets spill); it also matches
-    # the reference eval protocol of one view per G.f call
-    bs = int(os.environ.get("BENCH_BATCH", "1"))
+    # bs=2 with auto ray-chunking is the per-chip optimum on v5e (larger
+    # batches scale superlinearly in cost — gather working sets spill)
+    
+    bs = int(os.environ.get("BENCH_BATCH", "2"))
     g = configs.flagship(eval_mode=True)
     xin = _flagship_inputs(g, bs=bs)
     # spread over turntable azimuths like eval.generate's spin12

@@ -348,8 +348,45 @@ def render(
     ``options`` carries the reference rendering_kwargs: box_warp, ray_start,
     ray_end ('auto' supported), depth_resolution,
     depth_resolution_importance, white_back, use_triplane, triplane_depth,
-    disparity_space_sampling.
+    disparity_space_sampling. ``ray_chunk`` ('auto' default) bounds the
+    ray-gather working set per device step: on TPU the gather throughput
+    degrades superlinearly past ~10M gathered rows per call, so large
+    batches are lax.map'ed over ray chunks (each ray is independent).
     """
+    N = ray_origins.shape[0]
+    R = ray_origins.shape[1]
+    ray_chunk = options.get("ray_chunk", "auto")
+    if ray_chunk == "auto":
+        ray_chunk = max(4096 // N, 256)
+    if ray_chunk and R > ray_chunk and R % ray_chunk == 0:
+        n_chunks = R // ray_chunk
+        oc = ray_origins.reshape(N, n_chunks, ray_chunk, 3).transpose(1, 0, 2, 3)
+        dc = ray_directions.reshape(N, n_chunks, ray_chunk, 3).transpose(1, 0, 2, 3)
+        opts_inner = dict(options, ray_chunk=None)
+
+        def run_chunk(i, oo, dd):
+            k = jax.random.fold_in(key, i) if key is not None else None
+            return render(
+                planes, decode_fn, oo, dd, opts_inner, key=k,
+                triplane_crop=triplane_crop, cull_clouds=cull_clouds,
+                binarize_clouds=binarize_clouds,
+            )
+
+        # chunk 0 runs in the outer trace so flax submodules (the decoder)
+        # create their variables OUTSIDE the scan (lax.map) body
+        out0 = run_chunk(0, oc[0], dc[0])
+        rest = jax.lax.map(
+            lambda args: run_chunk(*args),
+            (jnp.arange(1, n_chunks), oc[1:], dc[1:]),
+        )  # leaves: [n_chunks-1, N, rc, ...]
+        outs = jax.tree_util.tree_map(
+            lambda a, b: jnp.concatenate([a[None], b], axis=0), out0, rest
+        )
+
+        def merge(a):
+            return a.transpose(1, 0, 2, 3).reshape(N, R, a.shape[-1])
+
+        return RenderOutput(*(merge(a) for a in outs))
     plane_axes = generate_plane_axes(options.get("use_triplane", False))
     box_warp = options["box_warp"]
     tdepth = options.get("triplane_depth", 1)
