@@ -65,12 +65,64 @@ def main():
 
     views_per_sec = bs / dt
     baseline = 2.0  # est. torch reference on RTX 3080 Ti (see docstring)
-    print(json.dumps({
+    out = {
         "metric": "render_512px_views_per_sec_per_chip",
         "value": round(views_per_sec, 3),
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / baseline, 3),
-    }))
+    }
+    mfu = _mfu(forward, params, xin, dt)
+    if mfu:
+        out.update(mfu)
+    print(json.dumps(out))
+
+
+# peak dense-matmul TFLOP/s per chip (bf16), public spec sheets; override
+# with BENCH_PEAK_TFLOPS for unlisted hardware
+_PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,
+    "TPU v5e": 197.0,
+    "TPU v5": 459.0,
+    "TPU v5p": 459.0,
+    "TPU v6 lite": 918.0,
+    "TPU v6e": 918.0,
+}
+
+
+def _mfu(forward, params, xin, dt):
+    """Absolute yardstick next to views/s: XLA-counted FLOPs of the
+    compiled eval forward / (peak chip FLOPs * step time). The render path
+    is gather/HBM-heavy, so MFU is expected to be LOW; it is reported to
+    make 'is this fast for this chip' answerable, not as a target."""
+    try:
+        compiled = forward.lower(params, xin).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        if flops <= 0:
+            return None
+        kind = jax.devices()[0].device_kind
+        peak = os.environ.get("BENCH_PEAK_TFLOPS")
+        if peak is not None:
+            peak = float(peak)
+        else:
+            peak = next(
+                (v for k, v in _PEAK_TFLOPS.items() if k.lower() in kind.lower()),
+                None,
+            )
+        if not peak:
+            return {"flops_per_call": flops, "device_kind": kind}
+        mfu = flops / dt / (peak * 1e12)
+        return {
+            "flops_per_call": flops,
+            "device_kind": kind,
+            "peak_tflops": peak,
+            "mfu": round(mfu, 4),
+        }
+    except Exception:
+        return None
 
 
 if __name__ == "__main__":

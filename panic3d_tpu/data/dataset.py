@@ -228,15 +228,23 @@ def collate(samples) -> TDict:
 
 
 class InfiniteBatcher:
-    """Rank-sharded infinite shuffled batches (misc.py:113-147 role)."""
+    """Rank-sharded infinite shuffled batches (misc.py:113-147 role).
+
+    All ranks seed the SAME shuffle RNG (`seed`, not `seed + rank`) and each
+    takes its strided slice ``order[rank::world]`` — exactly the reference
+    InfiniteSampler's shared-order partition (src/torch_utils/misc.py:113-147).
+    Per-rank seeds would shuffle different permutations, so the strided
+    slices would no longer partition the epoch (ranks duplicate/miss samples).
+    """
 
     def __init__(self, dataset, batch_size: int, rank: int = 0, world: int = 1,
                  seed: int = 0):
+        assert 0 <= rank < world
         self.dataset = dataset
         self.batch_size = batch_size
         self.rank = rank
         self.world = world
-        self.rng = np.random.RandomState(seed + rank)
+        self.rng = np.random.RandomState(seed)
 
     def __iter__(self) -> Iterator[TDict]:
         n = len(self.dataset)

@@ -54,11 +54,23 @@ def create_samples(N: int, cube_length: float) -> np.ndarray:
 _DECODER_CACHE = {}
 
 
-def _cached_decoder(G: "TriPlaneGenerator"):
+def _cached_decoder(G: "TriPlaneGenerator", mesh=None):
     """One compiled planes+decode pipeline per generator config (avoids
-    re-jitting — and re-compiling — on every get_volume call)."""
-    key = (id(G),)
+    re-jitting — and re-compiling — on every get_volume call).
+
+    mesh: optional jax.sharding.Mesh — the decode partitions each chunk's
+    POINT axis over the mesh's 'rays' axis (planes replicated), the
+    volume-decode instance of SURVEY.md §5's sequence-parallel axis: points
+    are independent, so the 167M-sample 256³ grid scales linearly across
+    chips with zero collectives.
+    """
+    key = (id(G), id(mesh))
     if key not in _DECODER_CACHE:
+        point_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            point_sharding = NamedSharding(mesh, P(None, "rays"))
 
         @jax.jit
         def planes_from_z(variables, z, cam, cond):
@@ -78,8 +90,11 @@ def _cached_decoder(G: "TriPlaneGenerator"):
         @jax.jit
         def decode_all(variables, planes, chunks):
             def body(coords):
+                c = coords[None]
+                if point_sharding is not None:
+                    c = jax.lax.with_sharding_constraint(c, point_sharding)
                 out = G.apply(
-                    variables, planes, coords[None],
+                    variables, planes, c,
                     method=TriPlaneGenerator.sample_mixed_planes,
                 )
                 return out["sigma"][0], out["rgb"][0]
@@ -99,15 +114,18 @@ def get_volume(
     chunk: int = 2**17,
     triplane_crop: Optional[float] = None,
     cull_clouds: Optional[float] = None,
+    mesh=None,
 ) -> Dict:
-    """get_eg3d_volume equivalent; xin needs ws|z|seeds + cond (+ filters)."""
+    """get_eg3d_volume equivalent; xin needs ws|z|seeds + cond (+ filters).
+
+    mesh: shard the decode's point axis over the mesh's 'rays' axis."""
     rk = G.rk
     bw = rk["box_warp"]
     triplane_crop = xin.get("triplane_crop", triplane_crop)
     cull_clouds = xin.get("cull_clouds", cull_clouds)
 
     # resolve ws + planes in one compiled pipeline (eg3d_metrics3d.py:100-109)
-    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G)
+    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G, mesh)
     xin_ = dict(xin)
     xin_.setdefault("elevations", jnp.zeros(1))
     xin_.setdefault("azimuths", jnp.zeros(1))
@@ -169,6 +187,7 @@ def extract_mesh(
     chunk: int = 2**17,
     level: float = 0.5,
     density_dtype=jnp.float16,
+    mesh=None,
 ) -> Dict:
     """Portrait -> colored mesh, host-transfer-optimized.
 
@@ -183,7 +202,7 @@ def extract_mesh(
     triplane_crop = xin.get("triplane_crop")
     cull_clouds = xin.get("cull_clouds")
 
-    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G)
+    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G, mesh)
     xin_ = dict(xin)
     xin_.setdefault("elevations", jnp.zeros(1))
     xin_.setdefault("azimuths", jnp.zeros(1))
@@ -208,7 +227,7 @@ def extract_mesh(
     pad = (-samples.shape[0]) % chunk
     chunks = jnp.asarray(np.pad(samples, ((0, pad), (0, 0))).reshape(-1, chunk, 3))
 
-    key = ("mesh", id(G), bool(triplane_crop), bool(cull_clouds),
+    key = ("mesh", id(G), id(mesh), bool(triplane_crop), bool(cull_clouds),
            jnp.dtype(density_dtype).name)
     if key not in _DECODER_CACHE:
 

@@ -240,10 +240,18 @@ class TriPlaneGenerator(nn.Module):
         binarize_clouds=None,
         normalize_images=True,
         render_key=None,
+        ray_sharding=None,
         **synthesis_kwargs,
     ):
-        """triplane.py:145-252. Returns the output dict."""
+        """triplane.py:145-252. Returns the output dict.
+
+        ray_sharding: optional jax.sharding.NamedSharding (spec over
+        [batch, rays]) — partitions the volume render's ray axis across the
+        mesh (parallel/mesh.py 'rays' axis; SURVEY.md §5).
+        """
         rk = self.rk
+        if ray_sharding is not None:
+            rk = dict(rk, ray_sharding=ray_sharding)
         res = neural_rendering_resolution or self.neural_rendering_resolution
         N = ws.shape[0]
 
@@ -363,6 +371,12 @@ class TriPlaneGenerator(nn.Module):
         """
         x = dict(x)
         rk = self.rk
+        # ray-axis mesh sharding: accepted as a method kwarg (static) or an
+        # x entry (only safe when x does not cross a jit boundary — a
+        # NamedSharding is not a pytree-of-arrays leaf)
+        ray_sharding = synthesis_kwargs.pop("ray_sharding", None)
+        if ray_sharding is None:
+            ray_sharding = x.pop("ray_sharding", None)
 
         if "latent_injection" in x:
             li = dict(latent_injection or {})
@@ -451,6 +465,7 @@ class TriPlaneGenerator(nn.Module):
             triplane_crop=x.get("triplane_crop"),
             cull_clouds=x.get("cull_clouds"),
             binarize_clouds=x.get("binarize_clouds"),
+            ray_sharding=ray_sharding,
             force_rays=force_rays,
             stop_level=stop_level,
             normalize_images=normalize_images,

@@ -283,12 +283,16 @@ def sample_importance(z_vals, weights, n_importance: int,
     return samples.reshape(B, R, n_importance, 1)
 
 
-def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
+def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2, flat_take: bool = True):
     """Concatenate coarse+fine and sort by depth (renderer.py:289-301).
 
     TPU: the per-ray reorder is done with one flat global-index row gather
     over [B*R*S, C] (see ops/grid_sample.py note) instead of a batched
-    take_along_axis per tensor.
+    take_along_axis per tensor. When the ray axis is SHARDED over the mesh
+    (flat_take=False) the reorder instead uses take_along_axis along the
+    local S axis — a bit-identical permutation the SPMD partitioner keeps
+    fully device-local (the flat global-index form would force an
+    all-gather of the sample tensor).
     """
     B, R = d1.shape[:2]
     depths = jnp.concatenate([d1, d2], axis=-2)
@@ -297,12 +301,17 @@ def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2):
     xyz = jnp.concatenate([x1, x2], axis=-2)
     densities = jnp.concatenate([s1, s2], axis=-2)
     idx = jnp.argsort(depths[..., 0], axis=-1).astype(jnp.int32)  # [B,R,S]
-    base = (jnp.arange(B * R, dtype=jnp.int32) * S).reshape(B, R, 1)
-    gidx = (idx + base).reshape(-1)
 
-    def take(a):
-        C = a.shape[-1]
-        return jnp.take(a.reshape(B * R * S, C), gidx, axis=0).reshape(B, R, S, C)
+    if flat_take:
+        base = (jnp.arange(B * R, dtype=jnp.int32) * S).reshape(B, R, 1)
+        gidx = (idx + base).reshape(-1)
+
+        def take(a):
+            C = a.shape[-1]
+            return jnp.take(a.reshape(B * R * S, C), gidx, axis=0).reshape(B, R, S, C)
+    else:
+        def take(a):
+            return jnp.take_along_axis(a, idx[..., None], axis=2)
 
     # colors (the wide block) reorder at their native dtype (bf16 when the
     # render runs bf16); depth/sigma/xyz ride a narrow fp32 gather
@@ -355,9 +364,20 @@ def render(
     """
     N = ray_origins.shape[0]
     R = ray_origins.shape[1]
+    # 'rays'-axis mesh sharding (SURVEY.md §5 sequence-parallel analog):
+    # rays are independent, so a NamedSharding over [N, R] partitions the
+    # whole render across chips with zero collectives (the per-ray cumprod
+    # and sort stay local). Auto-chunking is skipped — sharding already
+    # bounds the per-device gather working set.
+    ray_sharding = options.get("ray_sharding")
+    if ray_sharding is not None:
+        ray_origins = jax.lax.with_sharding_constraint(ray_origins, ray_sharding)
+        ray_directions = jax.lax.with_sharding_constraint(
+            ray_directions, ray_sharding
+        )
     ray_chunk = options.get("ray_chunk", "auto")
     if ray_chunk == "auto":
-        ray_chunk = max(4096 // N, 256)
+        ray_chunk = None if ray_sharding is not None else max(4096 // N, 256)
     if ray_chunk and R > ray_chunk and R % ray_chunk == 0:
         n_chunks = R // ray_chunk
         oc = ray_origins.reshape(N, n_chunks, ray_chunk, 3).transpose(1, 0, 2, 3)
@@ -453,6 +473,7 @@ def render(
         all_depths, all_colors, all_densities, all_xyz = unify_samples(
             depths_coarse, colors_coarse, densities_coarse, xyz_coarse,
             depths_fine, colors_fine, densities_fine, xyz_fine,
+            flat_take=ray_sharding is None,
         )
     else:
         all_depths, all_colors, all_densities, all_xyz = (

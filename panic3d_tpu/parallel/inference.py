@@ -74,3 +74,46 @@ def render_views_sharded(
         return out["image"]
 
     return np.asarray(run(variables, xin))
+
+
+def render_rays_sharded(
+    G: TriPlaneGenerator,
+    variables,
+    xin: dict,
+    mesh,
+    noise_mode: str = "const",
+    outputs=("image", "image_raw", "image_depth", "image_weights", "image_xyz"),
+):
+    """Render with the RAY axis of the volume render sharded over 'rays'
+    (and the batch over 'data') — the single-portrait latency axis
+    (SURVEY.md §5: rays are the framework's sequence dimension).
+
+    The ray partition rides jax.lax.with_sharding_constraint inside the
+    renderer (models/volumetric/renderer.py): every per-ray tensor —
+    stratified depths, triplane gathers, decoder MLP, importance resample,
+    sort, composite — is partitioned by XLA SPMD with no collectives (the
+    per-ray cumprod stays local). Bit-matches the unsharded render
+    (tests/test_parallel_inference.py).
+    """
+    repl = NamedSharding(mesh, P())
+    rs = NamedSharding(mesh, P("data", "rays"))
+    variables = jax.tree_util.tree_map(lambda a: jax.device_put(a, repl), variables)
+
+    # shape-determining / python-branch args must stay static under jit
+    xin = dict(xin)
+    static = {
+        k: xin.pop(k)
+        for k in ("triplane_crop", "cull_clouds", "binarize_clouds",
+                  "paste_params", "neural_rendering_resolution",
+                  "normalize_images", "update_emas")
+        if k in xin
+    }
+
+    @jax.jit
+    def run(variables, xin):
+        out = G.apply(variables, dict(xin, **static),
+                      method=TriPlaneGenerator.f,
+                      noise_mode=noise_mode, ray_sharding=rs)
+        return {k: out[k] for k in outputs if k in out}
+
+    return jax.tree_util.tree_map(np.asarray, run(variables, xin))

@@ -198,10 +198,22 @@ def augment_pipe(images, key, p: float, cfg: AugmentConfig = AugmentConfig.bgc()
         Cm = T @ Cm
 
     if cfg.brightness + cfg.contrast + cfg.lumaflip + cfg.hue + cfg.saturation > 0:
+        # apply the 3x3+offset color matrix per RGB triple; 6-channel inputs
+        # (the joint dual-discrimination pair) get it on each triple
+        # independently (reference augment.py:364-376)
         flat = images.reshape(N, C, -1)
-        ones = jnp.ones_like(flat[:, :1])
-        homo = jnp.concatenate([flat, ones], axis=1)  # [N,4,HW]
-        out = jnp.einsum("nij,njp->nip", Cm, homo)[:, :3]
+        A, b = Cm[:, :3, :3], Cm[:, :3, 3:]
+        if C == 3:
+            out = A @ flat + b
+        elif C == 1:
+            Cm1 = jnp.mean(Cm[:, :3, :], axis=1, keepdims=True)
+            out = flat * jnp.sum(Cm1[:, :, :3], axis=2, keepdims=True) + Cm1[:, :, 3:]
+        elif C % 3 == 0:
+            out = jnp.concatenate(
+                [A @ flat[:, i : i + 3] + b for i in range(0, C, 3)], axis=1
+            )
+        else:
+            raise ValueError(f"color transform needs C in (1, 3k); got {C}")
         images = out.reshape(N, C, H, W)
 
     # noise + cutout

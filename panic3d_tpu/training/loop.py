@@ -39,11 +39,19 @@ class GANTrainState:
     opt_G: Any
     opt_D: Any
     cur_nimg: jnp.ndarray  # int32 scalar
+    # ADA augmentation strength p (training_loop_v0.py:398-402); a traced
+    # scalar so the host-side heuristic update never triggers a recompile.
+    aug_p: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
 
 
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     batch_size: int = 4
+    # micro-batch size for gradient accumulation (batch_gpu,
+    # training_loop_v0.py:336-347); None = whole batch in one pass.
+    batch_gpu: Optional[int] = None
     g_lr: float = 0.0025
     d_lr: float = 0.002
     betas: Tuple[float, float] = (0.0, 0.99)
@@ -56,6 +64,13 @@ class TrainConfig:
         "Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back", "Grand",
         "Greg", "Dmain", "Dreg",
     )
+
+    @property
+    def n_micro(self) -> int:
+        if self.batch_gpu is None:
+            return 1
+        assert self.batch_size % self.batch_gpu == 0
+        return self.batch_size // self.batch_gpu
 
 
 def _scaled_adam(lr, betas, eps, reg_interval):
@@ -102,19 +117,51 @@ def build_train_step(
     """
     opt_G, opt_D = make_optimizers(train_cfg)
     cfg = loss.cfg
+    n_micro = train_cfg.n_micro
 
-    def g_phase_update(state, grads_fn, *args):
-        (l, stats), grads = grads_fn(state.vars_G["params"], *args)
-        grads = _nan_to_num_tree(grads)
+    def accumulate(phase_fn, params, batch, gen_z, gen_c, key):
+        """Micro-batched grad accumulation (training_loop_v0.py:336-347).
+
+        Micro-batch i takes the strided slice [i::n_micro] of the global
+        batch: under contiguous 'data'-axis sharding the stride keeps every
+        slice device-local (no resharding collective). Gradients/stats are
+        averaged so the accumulated update equals the full-batch update for
+        per-sample-separable losses.
+        """
+        grad_fn = jax.value_and_grad(phase_fn, has_aux=True)
+        if n_micro == 1:
+            (_, stats), grads = grad_fn(params, batch, gen_z, gen_c, key)
+            return _nan_to_num_tree(grads), stats
+        keys = jax.random.split(key, n_micro)
+        total_g, total_s = None, None
+        for i in range(n_micro):
+            mb = jax.tree_util.tree_map(lambda x: x[i::n_micro], batch)
+            (_, s), g = grad_fn(
+                params, mb, gen_z[i::n_micro], gen_c[i::n_micro], keys[i]
+            )
+            if total_g is None:
+                total_g, total_s = g, s
+            else:
+                total_g = jax.tree_util.tree_map(jnp.add, total_g, g)
+                total_s = {k: total_s[k] + s[k] for k in total_s}
+        grads = jax.tree_util.tree_map(lambda x: x / n_micro, total_g)
+        stats = {k: v / n_micro for k, v in total_s.items()}
+        return _nan_to_num_tree(grads), stats
+
+    def g_phase_update(state, phase_fn, key, batch, gen_z, gen_c):
+        grads, stats = accumulate(
+            phase_fn, state.vars_G["params"], batch, gen_z, gen_c, key
+        )
         updates, new_opt = opt_G.update(grads, state.opt_G, state.vars_G["params"])
         params = optax.apply_updates(state.vars_G["params"], updates)
         return state.replace(
             vars_G=dict(state.vars_G, params=params), opt_G=new_opt
         ), stats
 
-    def d_phase_update(state, grads_fn, *args):
-        (l, stats), grads = grads_fn(state.vars_D["params"], *args)
-        grads = _nan_to_num_tree(grads)
+    def d_phase_update(state, phase_fn, key, batch, gen_z, gen_c):
+        grads, stats = accumulate(
+            phase_fn, state.vars_D["params"], batch, gen_z, gen_c, key
+        )
         updates, new_opt = opt_D.update(grads, state.opt_D, state.vars_D["params"])
         params = optax.apply_updates(state.vars_D["params"], updates)
         return state.replace(
@@ -124,24 +171,20 @@ def build_train_step(
     def train_step(state: GANTrainState, batch, key):
         stats = {}
         cur_nimg = state.cur_nimg
+        aug_p = state.aug_p
         z_key, *phase_keys = jax.random.split(key, len(active_phases) + 1)
         bs = batch["image"].shape[0]
         gen_z = jax.random.normal(z_key, (bs, z_dim))
         gen_c = batch["camera"]
 
-        def wrapG(params, extra):
-            return dict(state.vars_G, params=params), extra
-
         for phase, pk in zip(active_phases, phase_keys):
             if phase == "Gmain":
-                fn = jax.value_and_grad(
-                    lambda p, k: loss.g_main_loss(
-                        dict(state.vars_G, params=p), state.vars_D, batch,
-                        gen_z, gen_c, k, cur_nimg,
-                    ),
-                    has_aux=True,
-                )
-                state, s = g_phase_update(state, fn, pk)
+                def fn(p, mb, z, c, k):
+                    return loss.g_main_loss(
+                        dict(state.vars_G, params=p), state.vars_D, mb,
+                        z, c, k, cur_nimg, aug_p=aug_p,
+                    )
+                state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
             elif phase in ("Gcond", "Gside-left", "Gside-right", "Gside-back",
                            "Grand"):
                 view = {
@@ -151,40 +194,32 @@ def build_train_step(
                     "Gside-back": "back",
                     "Grand": "rand",
                 }[phase]
-                fn = jax.value_and_grad(
-                    lambda p, k, v=view: loss.g_cond_loss(
-                        dict(state.vars_G, params=p), batch, gen_z, k, view=v
-                    ),
-                    has_aux=True,
-                )
-                state, s = g_phase_update(state, fn, pk)
+                def fn(p, mb, z, c, k, v=view):
+                    return loss.g_cond_loss(
+                        dict(state.vars_G, params=p), mb, z, k, view=v
+                    )
+                state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
             elif phase == "Greg":
-                fn = jax.value_and_grad(
-                    lambda p, k: loss.g_reg_loss(
-                        dict(state.vars_G, params=p), batch, gen_z, gen_c, k,
+                def fn(p, mb, z, c, k):
+                    return loss.g_reg_loss(
+                        dict(state.vars_G, params=p), mb, z, c, k,
                         cur_nimg, gain=float(train_cfg.g_reg_interval),
-                    ),
-                    has_aux=True,
-                )
-                state, s = g_phase_update(state, fn, pk)
+                    )
+                state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
             elif phase == "Dmain":
-                fn = jax.value_and_grad(
-                    lambda p, k: loss.d_main_loss(
-                        dict(state.vars_D, params=p), state.vars_G, batch,
-                        gen_z, gen_c, k, cur_nimg,
-                    ),
-                    has_aux=True,
-                )
-                state, s = d_phase_update(state, fn, pk)
+                def fn(p, mb, z, c, k):
+                    return loss.d_main_loss(
+                        dict(state.vars_D, params=p), state.vars_G, mb,
+                        z, c, k, cur_nimg, aug_p=aug_p,
+                    )
+                state, s = d_phase_update(state, fn, pk, batch, gen_z, gen_c)
             elif phase == "Dreg":
-                fn = jax.value_and_grad(
-                    lambda p, k: loss.d_reg_loss(
-                        dict(state.vars_D, params=p), batch, gen_c, k, cur_nimg,
-                        gain=float(train_cfg.d_reg_interval),
-                    ),
-                    has_aux=True,
-                )
-                state, s = d_phase_update(state, fn, pk)
+                def fn(p, mb, z, c, k):
+                    return loss.d_reg_loss(
+                        dict(state.vars_D, params=p), mb, c, k, cur_nimg,
+                        gain=float(train_cfg.d_reg_interval), aug_p=aug_p,
+                    )
+                state, s = d_phase_update(state, fn, pk, batch, gen_z, gen_c)
             else:
                 raise ValueError(phase)
             stats.update(s)
@@ -210,6 +245,19 @@ def build_train_step(
         return state, stats
 
     return train_step
+
+
+def ada_update(state: GANTrainState, signs_real: float, ada_target: float,
+               batch_size: int, ada_interval: int, ada_kimg: float) -> GANTrainState:
+    """ADA p-heuristic (training_loop_v0.py:398-402): nudge p toward the
+    target real-logit sign rate; clamp at 0. Host-driven every ada_interval
+    batches; p is a traced state scalar so no recompile occurs."""
+    adjust = float(np.sign(signs_real - ada_target)) * (
+        batch_size * ada_interval
+    ) / (ada_kimg * 1000)
+    return state.replace(
+        aug_p=jnp.maximum(state.aug_p + adjust, 0.0).astype(jnp.float32)
+    )
 
 
 def phases_for_step(step: int, cfg: TrainConfig) -> Tuple[str, ...]:

@@ -220,13 +220,18 @@ class OrthoCondLoss:
     """
 
     def __init__(self, cfg: LossConfig, G_f, G_mapping, G_sample_mixed, D_apply,
-                 lpips_fn):
+                 lpips_fn, augment_fn=None):
         self.cfg = cfg
         self.G_f = G_f
         self.G_mapping = G_mapping
         self.G_sample_mixed = G_sample_mixed
         self.D_apply = D_apply
         self.lpips_fn = lpips_fn
+        # ADA: augment_fn(images, key, p) -> images; applied to the
+        # joint [image, upsampled raw] pair inside run_D so the geometric
+        # warp is consistent across both discrimination streams
+        # (loss_orthocondA.py:189-195).
+        self.augment_fn = augment_fn
 
     # -- G recon phases -----------------------------------------------------
 
@@ -290,7 +295,7 @@ class OrthoCondLoss:
     def run_G(self, params_G, z, c, cond, key, swapping_prob,
               neural_rendering_resolution, update_emas=False):
         """loss_orthocondA.py:157-180."""
-        k_swap, k_f = jax.random.split(key)
+        k_swap, k_f, k_mix = jax.random.split(key, 3)
         if swapping_prob is not None:
             c_swapped = jnp.roll(c, 1, axis=0)
             take = jax.random.uniform(k_swap, (c.shape[0], 1)) < swapping_prob
@@ -299,6 +304,22 @@ class OrthoCondLoss:
             c_gen = jnp.zeros_like(c)
         # ws from the (possibly swapped) conditioning; render with true cams
         ws = self.G_mapping(params_G, z, c_gen, cond)
+        if self.cfg.style_mixing_prob > 0:
+            # vanilla EG3D style mixing (src/training/loss.py:87-92): with
+            # prob p, re-draw ws from a fresh z and splice it in after a
+            # uniform cutoff in [1, num_ws). Data-dependent slice -> iota mask.
+            k_cut, k_gate, k_z2 = jax.random.split(k_mix, 3)
+            num_ws = ws.shape[1]
+            ws2 = self.G_mapping(
+                params_G, jax.random.normal(k_z2, z.shape), c_gen, cond
+            )
+            cutoff = jax.random.randint(k_cut, (), 1, num_ws)
+            cutoff = jnp.where(
+                jax.random.uniform(k_gate, ()) < self.cfg.style_mixing_prob,
+                cutoff, num_ws,
+            )
+            mixed = jnp.arange(num_ws)[None, :, None] >= cutoff
+            ws = jnp.where(mixed, ws2, ws)
         xin = {
             "ws": ws,
             "cond": cond,
@@ -310,12 +331,29 @@ class OrthoCondLoss:
         }
         return self.G_f(params_G, xin, k_f)
 
-    def run_D(self, params_D, img, c, cond, key, blur_sigma=0.0, update_emas=False):
+    def run_D(self, params_D, img, c, cond, key, blur_sigma=0.0, aug_p=None,
+              update_emas=False):
         # blur_sigma may be traced (fading schedule); only a static 0 skips
         if not (isinstance(blur_sigma, (int, float)) and blur_sigma <= 0):
             img = dict(img)
             img["image"] = gaussian_blur_filter2d(
                 img["image"], blur_sigma, max_sigma=self.cfg.blur_init_sigma
+            )
+        if self.augment_fn is not None and aug_p is not None:
+            # joint-pair ADA (loss_orthocondA.py:189-195): upsample the raw
+            # stream to full res, augment the 6-channel concat with one warp,
+            # split and downsample back (antialiased, as the reference's
+            # interpolate(antialias=True)).
+            k_aug, key = jax.random.split(key)
+            img = dict(img)
+            full, raw = img["image"], img["image_raw"]
+            up = resize_bilinear(raw, full.shape[-1])
+            pair = self.augment_fn(
+                jnp.concatenate([full, up], axis=1), k_aug, aug_p
+            )
+            img["image"] = pair[:, : full.shape[1]]
+            img["image_raw"] = filtered_resizing(
+                pair[:, full.shape[1] :], raw.shape[-1], filter_mode="antialiased"
             )
         return self.D_apply(params_D, img, c, cond, key)
 
@@ -343,7 +381,8 @@ class OrthoCondLoss:
 
     # -- Gmain ---------------------------------------------------------------
 
-    def g_main_loss(self, params_G, params_D, batch, z, c, key, cur_nimg, gain=1.0):
+    def g_main_loss(self, params_G, params_D, batch, z, c, key, cur_nimg,
+                    gain=1.0, aug_p=None):
         """Adversarial G phase (+ masked recon, loss:480-576)."""
         cfg = self.cfg
         cond = batch["cond"]
@@ -374,7 +413,8 @@ class OrthoCondLoss:
         else:
             gen_for_adv = gen_img
 
-        gen_logits = self.run_D(params_D, gen_for_adv, c, cond, k_d, blur_sigma)
+        gen_logits = self.run_D(params_D, gen_for_adv, c, cond, k_d, blur_sigma,
+                                aug_p=aug_p)
         loss_gmain = jax.nn.softplus(-gen_logits)
         stats["Loss/scores/fake"] = jnp.mean(gen_logits)
         stats["Loss/G/loss"] = jnp.mean(loss_gmain)
@@ -481,7 +521,8 @@ class OrthoCondLoss:
 
     # -- D phases --------------------------------------------------------------
 
-    def d_main_loss(self, params_D, params_G, batch, z, c, key, cur_nimg, gain=1.0):
+    def d_main_loss(self, params_D, params_G, batch, z, c, key, cur_nimg,
+                    gain=1.0, aug_p=None):
         """Dgen + Dreal softplus (loss:690-718)."""
         cfg = self.cfg
         cond = batch["cond"]
@@ -495,22 +536,27 @@ class OrthoCondLoss:
             update_emas=True,
         )
         gen_img = jax.tree_util.tree_map(jax.lax.stop_gradient, gen_img)
-        gen_logits = self.run_D(params_D, gen_img, c, cond, k_d1, blur_sigma)
+        gen_logits = self.run_D(params_D, gen_img, c, cond, k_d1, blur_sigma,
+                                aug_p=aug_p)
         loss_dgen = jax.nn.softplus(gen_logits)
 
         real_img = self.prep_real_img(batch["image"], cur_nimg)
         real_tmp = {"image": real_img["image"], "image_raw": real_img["image_raw"]}
-        real_logits = self.run_D(params_D, real_tmp, c, cond, k_d2, blur_sigma)
+        real_logits = self.run_D(params_D, real_tmp, c, cond, k_d2, blur_sigma,
+                                 aug_p=aug_p)
         loss_dreal = jax.nn.softplus(-real_logits)
 
         stats = {
             "Loss/scores/fake": jnp.mean(gen_logits),
             "Loss/scores/real": jnp.mean(real_logits),
+            # sign stats drive the ADA p-heuristic (training_loop_v0.py:398-402)
+            "Loss/signs/fake": jnp.mean(jnp.sign(gen_logits)),
+            "Loss/signs/real": jnp.mean(jnp.sign(real_logits)),
             "Loss/D/loss": jnp.mean(loss_dgen + loss_dreal),
         }
         return jnp.mean(loss_dgen + loss_dreal) * gain, stats
 
-    def d_reg_loss(self, params_D, batch, c, key, cur_nimg, gain=1.0):
+    def d_reg_loss(self, params_D, batch, c, key, cur_nimg, gain=1.0, aug_p=None):
         """R1 penalty via grad-of-grad (loss:704-738)."""
         cfg = self.cfg
         blur_sigma = cfg.blur_sigma(cur_nimg)
@@ -520,7 +566,7 @@ class OrthoCondLoss:
         def logits_sum(image, image_raw):
             out = self.run_D(
                 params_D, {"image": image, "image_raw": image_raw}, c, cond, key,
-                blur_sigma,
+                blur_sigma, aug_p=aug_p,
             )
             return jnp.sum(out)
 

@@ -24,7 +24,18 @@ def make_loss(
     lpips_vars,
     cfg: LossConfig,
     noise_mode: str = "random",
+    augment: bool = False,
+    augment_cfg=None,
+    deterministic: bool = False,
+    ray_sharding=None,
 ):
+    """deterministic=True pins the renderer to its key-free quadrature
+    (midpoint stratified, deterministic importance draws) — used by the
+    gradient-accumulation equivalence test.
+
+    ray_sharding: optional NamedSharding (spec [batch, rays]) partitioning
+    the volume render's ray axis across the mesh inside the train step —
+    combined dp x ray parallelism (SURVEY.md §5)."""
     lpips_module = LPIPS()
 
     def G_f(vars_G, xin, key):
@@ -34,7 +45,8 @@ def make_loss(
             method=TriPlaneGenerator.f,
             rngs={"noise": k_noise} if noise_mode == "random" else {},
             noise_mode=noise_mode,
-            render_key=k_render,
+            render_key=None if deterministic else k_render,
+            ray_sharding=ray_sharding,
         )
 
     def G_mapping(vars_G, z, c, cond):
@@ -55,7 +67,17 @@ def make_loss(
     def lpips_fn(a, b):
         return lpips_module.apply(lpips_vars, a, b)
 
-    return OrthoCondLoss(cfg, G_f, G_mapping, G_sample_mixed, D_apply, lpips_fn)
+    augment_fn = None
+    if augment:
+        from .augment import AugmentConfig, augment_pipe
+
+        acfg = augment_cfg if augment_cfg is not None else AugmentConfig.bgc()
+
+        def augment_fn(images, key, p):
+            return augment_pipe(images, key, p, acfg)
+
+    return OrthoCondLoss(cfg, G_f, G_mapping, G_sample_mixed, D_apply, lpips_fn,
+                         augment_fn=augment_fn)
 
 
 def init_lpips(key=None):

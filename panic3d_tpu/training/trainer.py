@@ -70,6 +70,25 @@ def parse_args(argv=None):
     ap.add_argument("--blur-fade-kimg", type=float, default=200.0)
     ap.add_argument("--gen-pose-cond", action="store_true")
     ap.add_argument("--gpc-reg-prob", type=float, default=0.5)
+    ap.add_argument("--style-mixing-prob", type=float, default=0.0)
+    # ADA (train_eclustrousC.py:208,527-534; heuristic training_loop_v0.py:398-402)
+    ap.add_argument("--aug", choices=("noaug", "ada", "fixed"), default="noaug")
+    ap.add_argument("--ada-target", type=float, default=0.6)
+    ap.add_argument("--ada-interval", type=int, default=4)
+    ap.add_argument("--ada-kimg", type=float, default=500.0)
+    ap.add_argument("--aug-p", type=float, default=0.0, help="fixed-mode p")
+    # gradient accumulation (batch_gpu, train_eclustrousC.py:216)
+    ap.add_argument("--batch-gpu", type=int, default=None)
+    # snapshot-time metric eval (training_loop_v0.py:487-498)
+    ap.add_argument("--metrics", default="none",
+                    help="comma list, e.g. fid50k_full; 'none' disables")
+    ap.add_argument("--metric-items", type=int, default=50000)
+    ap.add_argument("--clip-weights", default=None,
+                    help="converted CLIP weights for the FID feature net")
+    ap.add_argument("--resume-blur", action="store_true",
+                    help="keep blur/gpc rampups active after resume")
+    ap.add_argument("--allow-random-lpips", action="store_true",
+                    help="permit training with a random-init LPIPS net")
     ap.add_argument("--triplane-depth", type=int, default=1)
     ap.add_argument("--triplane-width", type=int, default=32)
     ap.add_argument("--backbone-resolution", type=int, default=256)
@@ -107,14 +126,76 @@ def _snapshot_images(g, state, batch, snap_dir):
         print(f"snapshot image failed: {e}")
 
 
+def build_models(args):
+    """Construct G/D from CLI flags (train_eclustrousC.py:189-203 knobs)."""
+    from .. import configs
+    from ..models.dual_discriminator import DualDiscriminator
+
+    if args.tiny:
+        g = configs.tiny(cond_mode="ortho_front.add_4.reschonk_add_16")
+        d = DualDiscriminator(c_dim=25, img_resolution=g.img_resolution,
+                              channel_base=1024, channel_max=32,
+                              epilogue_kwargs=dict(mbstd_group_size=2))
+        chonk_ch, feat_dim = 16, 32
+    else:
+        g = configs.flagship(
+            cond_mode=args.cond_mode,
+            triplane_width=args.triplane_width,
+            backbone_resolution=args.backbone_resolution,
+            img_resolution=args.resolution,
+            rendering_kwargs=dict(triplane_depth=args.triplane_depth),
+        )
+        d = DualDiscriminator(c_dim=25, img_resolution=args.resolution)
+        chonk_ch, feat_dim = 512, 512
+    return g, d, chonk_ch, feat_dim
+
+
+def _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap):
+    """Snapshot-time metric eval (training_loop_v0.py:487-498 role)."""
+    try:
+        from .metric_eval import evaluate_fid, make_clip_feature_fn
+
+        if "fid50k_full" in args.metrics.split(","):
+            clip_vars = None
+            if args.clip_weights:
+                from ..runtime.checkpoint import load_checkpoint as _lc
+                clip_vars, _ = _lc(args.clip_weights)
+            feature_fn = make_clip_feature_fn(clip_vars)
+            r = evaluate_fid(
+                g, state.vars_Gema, make_batch_iter, feature_fn,
+                n_items=args.metric_items, run_dir=run_dir,
+                snapshot_name=os.path.basename(snap),
+                cache_dir=os.path.join(args.outdir, ".metric_cache"),
+                dataset_key=(args.data, args.data_subset, args.synthetic),
+            )
+            print(f"fid50k_full = {r['results']['fid50k_full']:.3f}")
+    except Exception as e:  # metric eval must never kill training
+        print(f"snapshot metric eval failed: {e}")
+
+
+def _snapshot_usable(path: str) -> bool:
+    """A snapshot is usable iff its state file exists and is non-empty
+    (the reference additionally demands a fid log next to the pkl,
+    train_eclustrousC.py:301-337 — here state.msgpack is the single
+    artifact whose integrity matters)."""
+    st = os.path.join(path, "state.msgpack")
+    return os.path.isfile(st) and os.path.getsize(st) > 0
+
+
 def find_resume(run_dir: str):
-    """Auto-resume: newest snapshot dir (train_eclustrousC.py:301-337 role)."""
+    """Auto-resume: newest USABLE snapshot (train_eclustrousC.py:301-337
+    role: scan newest-first, skip snapshots whose artifacts are missing —
+    e.g. a crash mid-save)."""
     if not os.path.isdir(run_dir):
         return None
     snaps = sorted(
         d for d in os.listdir(run_dir) if d.startswith("network-snapshot-")
     )
-    return os.path.join(run_dir, snaps[-1]) if snaps else None
+    for d in reversed(snaps):
+        p = os.path.join(run_dir, d)
+        if _snapshot_usable(p):
+            return p
+    return None
 
 
 def main(argv=None):
@@ -129,38 +210,50 @@ def main(argv=None):
     from ..models.triplane import TriPlaneGenerator
     from ..parallel import make_mesh, shard_batch
     from ..runtime.checkpoint import load_checkpoint, save_checkpoint
-    from .loop import GANTrainState, TrainConfig, build_train_step, init_state, phases_for_step
+    from ..utils.misc import check_replica_consistency
+    from .loop import (
+        GANTrainState, TrainConfig, ada_update, build_train_step, init_state,
+        phases_for_step,
+    )
     from .loss import LossConfig
     from .setup import init_lpips, make_loss
     from .stats import Collector, JsonlLogger
 
+    # multi-host: rendezvous (if configured) BEFORE any backend touch; all
+    # filesystem writes below are leader-only (train_eclustrousC.py:44-50
+    # NCCL rendezvous + rank-0 IO, the JAX way)
+    from ..parallel.multihost import is_leader, maybe_initialize_distributed
+    maybe_initialize_distributed()
+    leader = is_leader()
+
     run_dir = os.path.join(args.outdir, args.name)
-    os.makedirs(run_dir, exist_ok=True)
-    with open(os.path.join(run_dir, "training_options.json"), "w") as f:
-        json.dump(vars(args), f, indent=1)
+    if leader:
+        os.makedirs(run_dir, exist_ok=True)
+        with open(os.path.join(run_dir, "training_options.json"), "w") as f:
+            json.dump(vars(args), f, indent=1)
+
+    # Resolve resume BEFORE building the loss config: resuming disables the
+    # blur/gpc rampups and makes ADA react faster (train_eclustrousC.py:536-542).
+    resume = args.resume or find_resume(run_dir)
+    blur_init_sigma = args.blur_init_sigma
+    gpc_reg_fade_kimg = 1000.0
+    ada_kimg = args.ada_kimg
+    if resume:
+        ada_kimg = 100.0
+        if not args.resume_blur:
+            blur_init_sigma = 0.0
+            gpc_reg_fade_kimg = 0.0
 
     # models
-    if args.tiny:
-        g = configs.tiny(cond_mode="ortho_front.add_4.reschonk_add_16")
-        d = DualDiscriminator(c_dim=25, img_resolution=g.img_resolution,
-                              channel_base=1024, channel_max=32,
-                              epilogue_kwargs=dict(mbstd_group_size=2))
-        chonk_ch, feat_dim = 16, 32
-    else:
-        g = configs.flagship(
-            cond_mode=args.cond_mode,
-            triplane_width=args.triplane_width,
-            backbone_resolution=args.backbone_resolution,
-            img_resolution=args.resolution,
-        )
-        d = DualDiscriminator(c_dim=25, img_resolution=args.resolution)
-        chonk_ch, feat_dim = 512, 512
+    g, d, chonk_ch, feat_dim = build_models(args)
 
     loss_cfg = LossConfig(
         r1_gamma=args.gamma,
-        blur_init_sigma=args.blur_init_sigma,
+        blur_init_sigma=blur_init_sigma,
         blur_fade_kimg=args.blur_fade_kimg,
         gpc_reg_prob=args.gpc_reg_prob if args.gen_pose_cond else None,
+        gpc_reg_fade_kimg=gpc_reg_fade_kimg,
+        style_mixing_prob=args.style_mixing_prob,
         lambda_gcond_lpips=args.lambda_gcond_lpips,
         lambda_gcond_l1=args.lambda_gcond_l1,
         lambda_gcond_alpha_l2=args.lambda_gcond_alpha_l2,
@@ -208,6 +301,7 @@ def main(argv=None):
 
     train_cfg = TrainConfig(
         batch_size=args.batch,
+        batch_gpu=args.batch_gpu,
         g_lr=args.glr,
         d_lr=args.dlr,
         ema_kimg=args.batch * 10 / 32,
@@ -220,16 +314,22 @@ def main(argv=None):
         ), indent=1, default=str))
         return
 
-    # data
+    # data — each process loads only ITS batch shard (InfiniteSampler
+    # rank-sharding role, misc.py:113-147); single-host: rank 0 of 1
+    from ..parallel.multihost import process_rank, process_world
+    rank, world = process_rank(), process_world()
+    assert args.batch % world == 0, (args.batch, world)
+    local_bs = args.batch // world
+
     size = g.img_resolution
     if args.synthetic:
-        def batches():
+        def make_batch_iter():
             i = 0
             while True:
-                yield synthetic_batch(bs=args.batch, size=size,
-                                      chonk_ch=chonk_ch, feat_dim=feat_dim, seed=i)
+                yield synthetic_batch(bs=local_bs, size=size,
+                                      chonk_ch=chonk_ch, feat_dim=feat_dim,
+                                      seed=i * world + rank)
                 i += 1
-        batch_iter = batches()
     else:
         ds = EcrutileEDataset(args.data, subset=args.data_subset, size=size,
                               mirror=args.mirror)
@@ -238,32 +338,47 @@ def main(argv=None):
             return {"image": img, "camera": b["camera"], "xyz": b["xyz"],
                     "alpha": b["alpha"],
                     "cond": b["condition"]}
-        batch_iter = map(to_train, iter(InfiniteBatcher(ds, args.batch,
-                                                        seed=args.seed)))
 
-    # init / resume
+        def make_batch_iter():
+            return map(to_train, iter(InfiniteBatcher(
+                ds, local_bs, rank=rank, world=world, seed=args.seed)))
+    batch_iter = make_batch_iter()
+
+    # init / resume (param shapes are batch-size-independent: init at the
+    # local shard size; identical across processes by the shared seed)
     key = jax.random.PRNGKey(args.seed)
     first = jax.tree_util.tree_map(jnp.asarray, next(batch_iter))
-    xin = {"z": jnp.zeros((args.batch, g.z_dim)),
+    xin = {"z": jnp.zeros((local_bs, g.z_dim)),
            "camera_params": first["camera"], "cond": first["cond"]}
     vars_G = g.init({"params": key, "noise": key}, xin,
                     method=TriPlaneGenerator.f, noise_mode="const")
     vars_D = d.init({"params": key},
                     {"image": first["image"],
-                     "image_raw": jnp.zeros((args.batch, 3, g.neural_rendering_resolution,
+                     "image_raw": jnp.zeros((local_bs, 3, g.neural_rendering_resolution,
                                              g.neural_rendering_resolution))},
                     first["camera"], first["cond"])
     state = init_state(vars_G, vars_D, train_cfg)
-    resume = args.resume or find_resume(run_dir)
+    if args.aug == "fixed":
+        state = state.replace(aug_p=jnp.float32(args.aug_p))
     if resume:
         print(f"resuming from {resume}")
         restored, _ = load_checkpoint(resume, target=state)
         state = restored
 
+    uses_lpips = any(
+        getattr(loss_cfg, f) > 0 for f in dir(loss_cfg)
+        if f.startswith("lambda_") and f.endswith("lpips")
+    )
+    if (uses_lpips and not args.lpips_weights and not args.synthetic
+            and not args.allow_random_lpips):
+        raise SystemExit(
+            "refusing to train against a random-init LPIPS net: pass "
+            "--lpips-weights (runtime/convert.py) or --allow-random-lpips"
+        )
     from ..eval.lpips import load_lpips_params
     lpips_vars = (load_lpips_params(args.lpips_weights) if args.lpips_weights
                   else init_lpips())
-    loss = make_loss(g, d, lpips_vars, loss_cfg)
+    loss = make_loss(g, d, lpips_vars, loss_cfg, augment=args.aug != "noaug")
 
     import jax as _jax
 
@@ -273,22 +388,40 @@ def main(argv=None):
     mesh = make_mesh(n_data=n_data, n_rays=1)
     steps = {}  # phase-tuple -> compiled step
 
+    from ..parallel.mesh import batch_sharding
+    from ..parallel.multihost import make_global_batch
+
     collector = Collector()
-    logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl"))
+    logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl")) if leader else None
     total_steps = args.max_steps or (args.kimg * 1000 // args.batch)
     tick_interval = max(args.tick * 1000 // args.batch, 1)
     t_start = time.time()
 
+    signs_hist = []
     for step_i in range(int(state.cur_nimg) // args.batch, total_steps):
         active = phases_for_step(step_i, train_cfg)
         if active not in steps:
             steps[active] = jax.jit(build_train_step(loss, train_cfg, g.z_dim, active))
-        batch = shard_batch(jax.tree_util.tree_map(jnp.asarray, next(batch_iter)), mesh)
+        batch = make_global_batch(
+            jax.tree_util.tree_map(jnp.asarray, next(batch_iter)),
+            mesh, batch_sharding(mesh),
+        )
         key, sk = jax.random.split(key)
         state, stats = steps[active](state, batch, sk)
         collector.report_dict({k: float(v) for k, v in stats.items()})
 
-        if step_i % tick_interval == 0:
+        # ADA heuristic (training_loop_v0.py:398-402)
+        if args.aug == "ada" and "Loss/signs/real" in stats:
+            signs_hist.append(float(stats["Loss/signs/real"]))
+            if len(signs_hist) >= args.ada_interval:
+                state = ada_update(
+                    state, float(np.mean(signs_hist)), args.ada_target,
+                    args.batch, args.ada_interval, ada_kimg,
+                )
+                signs_hist.clear()
+                collector.report_dict({"Progress/augment": float(state.aug_p)})
+
+        if step_i % tick_interval == 0 and leader:
             kimg = int(state.cur_nimg) / 1000
             msg = " ".join(
                 f"{k.split('/')[-1]}={collector.mean(k):.3f}" for k in sorted(
@@ -299,14 +432,25 @@ def main(argv=None):
             collector.reset()
 
         if step_i % (tick_interval * args.snap) == 0 and step_i > 0:
-            snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
-            save_checkpoint(snap, jax.device_get(state), config=vars(args))
-            _snapshot_images(g, state, batch, snap)
-            print(f"saved {snap}")
+            # cross-replica param audit (check_ddp_consistency role,
+            # training_loop_v0.py:478) — every process audits its devices
+            if not check_replica_consistency(state.vars_G["params"]):
+                print("WARNING: replica consistency check FAILED at snapshot")
+            if leader:
+                snap = os.path.join(
+                    run_dir, f"network-snapshot-{int(state.cur_nimg):06d}"
+                )
+                save_checkpoint(snap, jax.device_get(state), config=vars(args))
+                _snapshot_images(g, state, batch, snap)
+                # snapshot-time metric eval (training_loop_v0.py:487-498)
+                if args.metrics != "none":
+                    _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
+                print(f"saved {snap}")
 
-    snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
-    save_checkpoint(snap, jax.device_get(state), config=vars(args))
-    print(f"done; final snapshot {snap}")
+    if leader:
+        snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
+        save_checkpoint(snap, jax.device_get(state), config=vars(args))
+        print(f"done; final snapshot {snap}")
 
 
 if __name__ == "__main__":

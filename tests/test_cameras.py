@@ -11,6 +11,8 @@ import pytest
 import scipy.spatial.transform
 import torch
 
+pytestmark = pytest.mark.fast
+
 from panic3d_tpu.cameras import (
     cam60,
     camsubs,

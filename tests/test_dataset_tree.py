@@ -16,6 +16,8 @@ import pytest
 from panic3d_tpu.data.dataset import EcrutileEDataset, InfiniteBatcher, collate
 from panic3d_tpu.utils.imglib import Img
 
+pytestmark = pytest.mark.fast
+
 
 SIZE = 32
 

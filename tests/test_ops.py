@@ -13,6 +13,8 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+pytestmark = pytest.mark.fast
+
 from panic3d_tpu.ops import (
     bias_act,
     setup_filter,

@@ -13,6 +13,8 @@ from panic3d_tpu.utils.table import Table
 from panic3d_tpu.utils.imageops import dilation, erosion, resize_nearest, sobel_magnitude
 from panic3d_tpu.utils.sketchers import batch_dog, gaussian_blur2d
 
+pytestmark = pytest.mark.fast
+
 
 def test_dict_recursive_update():
     d = Dict(a=dict(b=1, c=2), x=5)
