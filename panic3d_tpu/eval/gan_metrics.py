@@ -171,3 +171,95 @@ def fid50k_full(gen_features: np.ndarray = None, real_features: np.ndarray = Non
 def kid50k_full(gen_features: np.ndarray = None, real_features: np.ndarray = None,
                 **kwargs) -> dict:
     return {"kid50k_full": kid_mmd(real_features, gen_features)}
+
+
+# ---------------------------------------------------------------------------
+# improved precision/recall (precision_recall.py, Kynkäänniemi et al.)
+
+def _chunked_cdist(rows: np.ndarray, cols: np.ndarray, col_batch: int):
+    """Pairwise L2 distances [R, C], streamed over column chunks
+    (precision_recall.py:21-34 compute_distances, single-process)."""
+    outs = []
+    r2 = np.sum(rows**2, axis=1, keepdims=True)
+    for i in range(0, cols.shape[0], col_batch):
+        cb = cols[i : i + col_batch]
+        d2 = r2 + np.sum(cb**2, axis=1)[None, :] - 2.0 * rows @ cb.T
+        outs.append(np.sqrt(np.maximum(d2, 0.0)))
+    return np.concatenate(outs, axis=1)
+
+
+def knn_precision_recall(
+    real_features: np.ndarray,
+    gen_features: np.ndarray,
+    nhood_size: int = 3,
+    row_batch_size: int = 10000,
+    col_batch_size: int = 10000,
+):
+    """k-NN manifold precision/recall (precision_recall.py:38-63): a probe
+    counts as covered if it lies within ANY manifold point's k-th-neighbor
+    radius (k = nhood_size, excluding self)."""
+    real_features = np.asarray(real_features, np.float32)
+    gen_features = np.asarray(gen_features, np.float32)
+    results = {}
+    for name, manifold, probes in [
+        ("precision", real_features, gen_features),
+        ("recall", gen_features, real_features),
+    ]:
+        kth = []
+        for i in range(0, manifold.shape[0], row_batch_size):
+            d = _chunked_cdist(manifold[i : i + row_batch_size], manifold,
+                               col_batch_size)
+            # kth smallest including the self-distance 0 => index nhood_size
+            kth.append(np.partition(d, nhood_size, axis=1)[:, nhood_size])
+        kth = np.concatenate(kth)
+        pred = []
+        for i in range(0, probes.shape[0], row_batch_size):
+            d = _chunked_cdist(probes[i : i + row_batch_size], manifold,
+                               col_batch_size)
+            pred.append(np.any(d <= kth[None, :], axis=1))
+        results[name] = float(np.concatenate(pred).mean())
+    return results["precision"], results["recall"]
+
+
+@register_metric
+def pr50k3_full(gen_features: np.ndarray = None, real_features: np.ndarray = None,
+                **kwargs) -> dict:
+    """metric_main.py:106-109 protocol: nhood 3, 200k real / 50k gen caps
+    (callers supply however many features they have)."""
+    p, r = knn_precision_recall(real_features, gen_features, nhood_size=3)
+    return {"pr50k3_full_precision": p, "pr50k3_full_recall": r}
+
+
+# ---------------------------------------------------------------------------
+# inception score (inception_score.py)
+
+@register_metric
+def is50k(gen_probs: np.ndarray = None, num_splits: int = 10, **kwargs) -> dict:
+    """IS over class-probability rows (inception_score.py:21-40)."""
+    gen_probs = np.asarray(gen_probs, np.float64)
+    n = len(gen_probs)
+    scores = []
+    for i in range(num_splits):
+        part = gen_probs[i * n // num_splits : (i + 1) * n // num_splits]
+        kl = part * (np.log(part) - np.log(np.mean(part, axis=0, keepdims=True)))
+        scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
+    return {"is50k_mean": float(np.mean(scores)), "is50k_std": float(np.std(scores))}
+
+
+# ---------------------------------------------------------------------------
+# perceptual path length (perceptual_path_length.py)
+
+def ppl_from_distances(dist: np.ndarray) -> float:
+    """Percentile-filtered mean of the squared differential perceptual
+    distances (perceptual_path_length.py:118-125)."""
+    dist = np.asarray(dist, np.float64)
+    lo = np.percentile(dist, 1, method="lower")
+    hi = np.percentile(dist, 99, method="higher")
+    return float(np.extract((dist >= lo) & (dist <= hi), dist).mean())
+
+
+@register_metric
+def ppl2_wend(ppl_distances: np.ndarray = None, **kwargs) -> dict:
+    """metric_main.py:112-114 protocol: distances from metric_eval.compute_ppl
+    (w-space, endpoint sampling, eps 1e-4)."""
+    return {"ppl2_wend": ppl_from_distances(ppl_distances)}

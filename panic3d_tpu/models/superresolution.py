@@ -15,6 +15,17 @@ import jax.numpy as jnp
 from .stylegan2 import SynthesisBlock, resize_bilinear
 
 
+def __getattr__(name):
+    # API parity with the reference's `from ... networks_stylegan3 import
+    # SynthesisLayer as AFSynthesisLayer` (superresolution.py:22); lazy so
+    # scipy (filter design) is only imported when actually used.
+    if name == "AFSynthesisLayer":
+        from .stylegan3 import AFSynthesisLayer
+
+        return AFSynthesisLayer
+    raise AttributeError(name)
+
+
 class _SRBase(nn.Module):
     channels: int
     img_resolution: int
@@ -171,7 +182,36 @@ class SuperresolutionHybrid2X(_SRBase):
         return rgb
 
 
+class SuperresolutionHybridDeepfp32(_SRBase):
+    """256² output from a 128² hybrid input (superresolution.py:126-154);
+    first block at 128 with no upsample, second block upsamples to 256."""
+
+    input_resolution: int = 128
+
+    @nn.compact
+    def __call__(self, rgb, x, ws, **block_kwargs):
+        use_fp16 = self.sr_num_fp16_res > 0
+        conv_clamp = 256 if use_fp16 else None
+        ws = jnp.repeat(ws[:, -1:, :], 3, axis=1)
+        if x.shape[-1] < self.input_resolution:
+            x = resize_bilinear(x, self.input_resolution, antialias=False)
+            rgb = resize_bilinear(rgb, self.input_resolution, antialias=False)
+        x, rgb = SynthesisBlock(
+            in_channels=self.channels, out_channels=128, w_dim=self.w_dim,
+            resolution=128, img_channels=3, is_last=False, use_fp16=use_fp16,
+            conv_clamp=conv_clamp, no_up=True, name="block0",
+        )(x, rgb, ws, **block_kwargs)
+        x, rgb = SynthesisBlock(
+            in_channels=128, out_channels=64, w_dim=self.w_dim, resolution=256,
+            img_channels=3, is_last=True, use_fp16=use_fp16,
+            conv_clamp=conv_clamp, name="block1",
+        )(x, rgb, ws, **block_kwargs)
+        return rgb
+
+
 SR_MODULES = {
+    "training.superresolution.SuperresolutionHybridDeepfp32": SuperresolutionHybridDeepfp32,
+    "SuperresolutionHybridDeepfp32": SuperresolutionHybridDeepfp32,
     "training.superresolution.SuperresolutionHybrid8XDC": SuperresolutionHybrid8XDC,
     "training.superresolution.SuperresolutionHybrid8X": SuperresolutionHybrid8X,
     "training.superresolution.SuperresolutionHybrid4X": SuperresolutionHybrid4X,

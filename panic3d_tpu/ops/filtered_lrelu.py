@@ -33,22 +33,16 @@ def filtered_lrelu(
     flip_filter: bool = False,
 ):
     px0, px1, py0, py1 = _parse_padding(padding)
-    fu_w, fu_h = _get_filter_size(fu)
-    fd_w, fd_h = _get_filter_size(fd)
 
-    batch_size, channels, in_h, in_w = x.shape
-    px0 += (fu_w - 1) // 2
-    px1 += fu_w // 2
-    py0 += (fu_h - 1) // 2
-    py1 += fu_h // 2
-    px0 += (fd_w - 1) // 2
-    px1 += fd_w // 2
-    py0 += (fd_h - 1) // 2
-    py1 += fd_h // 2
-
+    # exact ref-impl pipeline (filtered_lrelu.py:123-155): bias FIRST (so the
+    # zero padding stays zero and the low-pass sees the biased signal), then
+    # upsample, lrelu+clamp, downsample. The caller's padding already
+    # accounts for both filters' tap counts (SG3 layer pad_total math).
+    x = bias_act(x, b)
     x = upfirdn2d(
-        x, fu, up=up, padding=[px0, px1, py0, py1], gain=up**2, flip_filter=flip_filter
+        x, fu, up=up, padding=[px0, px1, py0, py1], gain=up**2,
+        flip_filter=flip_filter,
     )
-    x = bias_act(x, b, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
+    x = bias_act(x, act="lrelu", alpha=slope, gain=gain, clamp=clamp)
     x = upfirdn2d(x, fd, down=down, flip_filter=flip_filter)
     return x

@@ -63,6 +63,75 @@ def generate_fakes(G, vars_Gema, batch_iter: Iterator, n_items: int, key=None):
         done += bs
 
 
+def compute_ppl(
+    G,
+    variables,
+    batch_iter_factory: Callable[[], Iterator],
+    lpips_fn: Callable,
+    num_samples: int = 200,
+    epsilon: float = 1e-4,
+    batch_size: int = 2,
+    key=None,
+):
+    """Perceptual path length, w-space endpoint sampling (the reference's
+    ppl2_wend config: perceptual_path_length.py PPLSampler with space='w',
+    sampling='end', crop=False, eps=1e-4).
+
+    lpips_fn(img0, img1) -> [N] perceptual distances (the squared-embedding
+    form, i.e. standard LPIPS); dist = lpips / eps^2. Images are mean-pooled
+    to 256² like the reference (:80-82) before scoring.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.triplane import TriPlaneGenerator
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    c_iter = batch_iter_factory()
+
+    def pool256(img):
+        factor = img.shape[-1] // 256
+        if factor > 1:
+            N, C, H, W = img.shape
+            img = img.reshape(N, C, H // factor, factor, W // factor, factor)
+            img = img.mean(axis=(3, 5))
+        return img
+
+    @jax.jit
+    def pair_dist(variables, z0, z1, c, cond, key):
+        def render(ws, k):
+            xin = {"ws": ws, "camera_params": c, "cond": cond,
+                   "normalize_images": True}
+            out = G.apply(variables, xin, method=TriPlaneGenerator.f,
+                          noise_mode="random", rngs={"noise": k})
+            return pool256(out["image"])
+
+        w0 = G.apply(variables, z0, c, cond, method=TriPlaneGenerator.mapping)
+        w1 = G.apply(variables, z1, c, cond, method=TriPlaneGenerator.mapping)
+        # endpoint sampling: t = 0
+        wt0 = w0
+        wt1 = w0 + (w1 - w0) * epsilon
+        k0, k1 = jax.random.split(key)
+        img0 = render(wt0, k0)
+        img1 = render(wt1, k1)
+        return lpips_fn(img0, img1) / epsilon**2
+
+    dists = []
+    n = 0
+    while n < num_samples:
+        batch = next(c_iter)
+        c = jnp.asarray(batch["camera"])[:batch_size]
+        cond = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x)[:batch_size], batch["cond"]
+        )
+        key, kz0, kz1, kn = jax.random.split(key, 4)
+        z0 = jax.random.normal(kz0, (c.shape[0], G.z_dim))
+        z1 = jax.random.normal(kz1, (c.shape[0], G.z_dim))
+        dists.append(np.asarray(pair_dist(variables, z0, z1, c, cond, kn)))
+        n += c.shape[0]
+    return np.concatenate(dists)[:num_samples]
+
+
 def evaluate_fid(
     G,
     vars_Gema,
