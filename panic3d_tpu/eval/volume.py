@@ -23,7 +23,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.triplane import TriPlaneGenerator
-from ..models.volumetric.renderer import cull_clouds_mask, triplane_crop_mask
+from ..models.volumetric.renderer import (
+    cull_clouds_mask,
+    pack_planes,
+    triplane_crop_mask,
+)
 from ..runtime.native_ops import marching_tetrahedra
 from ..utils.config import Dict
 
@@ -72,20 +76,26 @@ def _cached_decoder(G: "TriPlaneGenerator", mesh=None):
 
             point_sharding = NamedSharding(mesh, P(None, "rays"))
 
+        def _maybe_pack(planes):
+            # corner-pack ONCE here (fp32, preserving decode numerics) so
+            # every 2^17-point chunk pays 3 row gathers per point instead
+            # of 12; sample_mixed_planes dispatches on ndim
+            return pack_planes(planes) if G.triplane_depth == 1 else planes
+
         @jax.jit
         def planes_from_z(variables, z, cam, cond):
             ws = G.apply(variables, z, cam, cond, method=TriPlaneGenerator.mapping)
-            return ws, G.apply(
+            return ws, _maybe_pack(G.apply(
                 variables, ws, cond, noise_mode="const",
                 method=TriPlaneGenerator._planes_from_ws,
-            )
+            ))
 
         @jax.jit
         def planes_from_ws(variables, ws, cond):
-            return G.apply(
+            return _maybe_pack(G.apply(
                 variables, ws, cond, noise_mode="const",
                 method=TriPlaneGenerator._planes_from_ws,
-            )
+            ))
 
         @jax.jit
         def decode_all(variables, planes, chunks):

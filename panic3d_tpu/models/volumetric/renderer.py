@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...ops.grid_sample import grid_sample_2d_points, grid_sample_3d_points
+from ...ops.grid_sample import (
+    grid_sample_2d_points,
+    grid_sample_2d_points_packed,
+    grid_sample_3d_points,
+    pack_bilinear_2d,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -82,6 +87,37 @@ def sample_from_planes(
     pts = proj.reshape(N * n_planes, M, 3)
     out = grid_sample_3d_points(feats, pts, padding_mode="zeros")  # [N*3,M,C]
     return out.reshape(N, n_planes, M, C)
+
+
+def pack_planes(plane_features: jax.Array) -> jax.Array:
+    """Corner-pack [N,3,C,H,W] triplanes -> [N*3, H+1, W+1, 4C].
+
+    TPU gather optimization: the bilinear lookup becomes ONE row gather per
+    (point, plane) instead of four (ops/grid_sample.pack_bilinear_2d) — with
+    C=32 the packed row is exactly the 128-lane register width. Build cost
+    is a single elementwise pass over 4x the plane bytes, amortized over the
+    ~R*S gathers of a render (or the 256³ of a volume decode); callers hoist
+    it out of chunk loops. run_model dispatches on ndim (4 = packed).
+    """
+    N, n_planes, C, H, W = plane_features.shape
+    return pack_bilinear_2d(plane_features.reshape(N * n_planes, C, H, W))
+
+
+def sample_from_planes_packed(
+    plane_axes: np.ndarray,
+    packed: jax.Array,           # [N*3, H+1, W+1, 4C]
+    coordinates: jax.Array,      # [N, M, 3] world coords
+    box_warp: float,
+) -> jax.Array:
+    """Packed-row bilinear triplane lookup -> [N, 3, M, C]."""
+    NP = packed.shape[0]
+    N, M, _ = coordinates.shape
+    n_planes = NP // N
+    coordinates = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coordinates)  # [N,3,M,3]
+    pts = proj[..., :2].reshape(NP, M, 2)
+    out = grid_sample_2d_points_packed(packed, pts)  # [N*3, M, C]
+    return out.reshape(N, n_planes, M, -1)
 
 
 # ---------------------------------------------------------------------------
@@ -333,10 +369,19 @@ class RenderOutput(NamedTuple):
 
 def run_model(plane_axes, planes, decode_fn, sample_coordinates,
               box_warp: float, triplane_depth: int = 1):
-    """Triplane lookup + decoder MLP (renderer.py:266-280)."""
-    feats = sample_from_planes(
-        plane_axes, planes, sample_coordinates, box_warp, triplane_depth
-    )
+    """Triplane lookup + decoder MLP (renderer.py:266-280).
+
+    ``planes`` may be raw [N,3,C*D,H,W] or corner-packed [N*3,H+1,W+1,4C]
+    (pack_planes); dispatch is on ndim.
+    """
+    if planes.ndim == 4:
+        feats = sample_from_planes_packed(
+            plane_axes, planes, sample_coordinates, box_warp
+        )
+    else:
+        feats = sample_from_planes(
+            plane_axes, planes, sample_coordinates, box_warp, triplane_depth
+        )
     rgb, sigma = decode_fn(feats)
     return rgb, sigma
 
@@ -369,6 +414,20 @@ def render(
     # whole render across chips with zero collectives (the per-ray cumprod
     # and sort stay local). Auto-chunking is skipped — sharding already
     # bounds the per-device gather working set.
+    # corner-pack the planes BEFORE any chunk split so the packed build is
+    # hoisted out of the lax.map body (it is loop-invariant) and shared by
+    # the coarse and importance passes. Disable with
+    # rendering_kwargs['packed_gather']=False for bit-parity vs the
+    # 4-corner-gather form.
+    if (
+        planes.ndim == 5
+        and options.get("packed_gather", True)
+        and options.get("triplane_depth", 1) == 1
+    ):
+        render_dtype_ = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[
+            options.get("render_dtype", "bfloat16")
+        ]
+        planes = pack_planes(planes.astype(render_dtype_))
     ray_sharding = options.get("ray_sharding")
     if ray_sharding is not None:
         ray_origins = jax.lax.with_sharding_constraint(ray_origins, ray_sharding)

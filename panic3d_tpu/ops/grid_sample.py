@@ -78,6 +78,65 @@ def grid_sample_2d_points(input, points, padding_mode="zeros",
     return top + (bot - top) * wy1
 
 
+def pack_bilinear_2d(input):
+    """Corner-pack a plane batch for single-row bilinear gathers.
+
+    input [N,C,H,W] -> packed [N, H+1, W+1, 4C] where row (n,y,x) holds the
+    2x2 footprint [v(y-1,x-1) | v(y-1,x) | v(y,x-1) | v(y,x)] of the
+    zero-padded plane (i.e. packed row (by,bx) covers unpadded corners
+    (by-1,bx-1)..(by,bx); base indices are clip(floor)+1).
+
+    Why: TPU gathers are row-rate-bound — one 4C-lane row per point per
+    plane replaces four C-lane corner gathers (4x fewer descriptors for
+    the same bytes). With C=32 the packed row is exactly 128 lanes.
+    """
+    N, C, H, W = input.shape
+    cl = jnp.pad(
+        input.transpose(0, 2, 3, 1), ((0, 0), (1, 1), (1, 1), (0, 0))
+    )  # [N, H+2, W+2, C] zero ring
+    return jnp.concatenate(
+        [
+            cl[:, 0 : H + 1, 0 : W + 1],
+            cl[:, 0 : H + 1, 1 : W + 2],
+            cl[:, 1 : H + 2, 0 : W + 1],
+            cl[:, 1 : H + 2, 1 : W + 2],
+        ],
+        axis=-1,
+    )  # [N, H+1, W+1, 4C]
+
+
+def grid_sample_2d_points_packed(packed, points, align_corners=False):
+    """Sample a pack_bilinear_2d output at points [N,P,2] -> [N,P,C].
+
+    Zeros padding-mode semantics (the renderer's). One flat row gather
+    per (point, plane): the padded zero ring makes border-straddling
+    footprints exact; points whose footprint lies fully outside get all
+    four weights masked to 0.
+    """
+    Np, Hp1, Wp1, C4 = packed.shape
+    H, W, C = Hp1 - 1, Wp1 - 1, C4 // 4
+    P = points.shape[1]
+    dtype = packed.dtype
+    flat = packed.reshape(Np * Hp1 * Wp1, C4)
+
+    ix0, iy0, wx1, wy1 = _bilinear_setup(
+        points[..., 0], points[..., 1], H, W, align_corners
+    )
+    inb = (ix0 >= -1) & (ix0 <= W - 1) & (iy0 >= -1) & (iy0 <= H - 1)
+    bx = jnp.clip(ix0, -1, W - 1) + 1
+    by = jnp.clip(iy0, -1, H - 1) + 1
+    base = (jnp.arange(Np, dtype=jnp.int32) * (Hp1 * Wp1))[:, None]
+    lin = base + by * Wp1 + bx
+    rows = jnp.take(flat, lin.reshape(-1), axis=0).reshape(Np, P, 4, C)
+
+    w = jnp.stack(
+        [(1 - wx1) * (1 - wy1), wx1 * (1 - wy1), (1 - wx1) * wy1, wx1 * wy1],
+        axis=-1,
+    )
+    w = jnp.where(inb[..., None], w, 0.0).astype(dtype)
+    return jnp.sum(rows * w[..., None], axis=2)
+
+
 def grid_sample_2d(input, grid, padding_mode="zeros", align_corners=False):
     """torch-layout API: grid [N,Hg,Wg,2] -> [N,C,Hg,Wg]."""
     N, C, H, W = input.shape

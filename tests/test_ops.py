@@ -273,3 +273,60 @@ def test_grid_sample_2d_gradients_flow():
     assert np.isfinite(np.asarray(gx)).all()
     assert np.isfinite(np.asarray(gg)).all()
     assert float(jnp.abs(gg).sum()) > 0
+
+
+# ---------------------------------------------------------------------------
+# corner-packed bilinear gather (the renderer's single-row-gather fast path)
+
+def test_packed_gather_matches_torch_grid_sample():
+    from panic3d_tpu.ops.grid_sample import (
+        grid_sample_2d_points_packed, pack_bilinear_2d,
+    )
+
+    N, C, H, W = 3, 8, 9, 6
+    x = RNG.randn(N, C, H, W).astype(np.float32)
+    # include far out-of-range points (oob scale 2.5) to hit the weight mask
+    pts = (RNG.rand(N, 50, 2).astype(np.float32) * 2 - 1) * 2.5
+    packed = pack_bilinear_2d(jnp.asarray(x))
+    assert packed.shape == (N, H + 1, W + 1, 4 * C)
+    got = np.asarray(grid_sample_2d_points_packed(packed, jnp.asarray(pts)))
+
+    grid = torch.tensor(pts).unsqueeze(1)  # [N,1,P,2]
+    want = (
+        F.grid_sample(torch.tensor(x), grid, mode="bilinear",
+                      padding_mode="zeros", align_corners=False)
+        .squeeze(2).permute(0, 2, 1).numpy()
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_packed_sample_from_planes_matches_unpacked():
+    from panic3d_tpu.models.volumetric import renderer as vr
+
+    N, C, H, W = 2, 32, 16, 16
+    planes = jnp.asarray(RNG.randn(N, 3, C, H, W).astype(np.float32))
+    coords = jnp.asarray((RNG.rand(N, 70, 3).astype(np.float32) - 0.5) * 1.2)
+    axes = vr.generate_plane_axes(use_triplane=True)
+    want = vr.sample_from_planes(axes, planes, coords, box_warp=0.7)
+    got = vr.sample_from_planes_packed(
+        axes, vr.pack_planes(planes), coords, box_warp=0.7
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6
+    )
+
+
+def test_packed_gather_gradients_flow():
+    from panic3d_tpu.ops.grid_sample import (
+        grid_sample_2d_points_packed, pack_bilinear_2d,
+    )
+
+    x = jnp.asarray(RNG.randn(1, 4, 6, 6).astype(np.float32))
+    pts = jnp.asarray((RNG.rand(1, 9, 2).astype(np.float32) * 2 - 1) * 0.9)
+
+    def loss(x, p):
+        return jnp.sum(grid_sample_2d_points_packed(pack_bilinear_2d(x), p) ** 2)
+
+    gx, gp = jax.grad(loss, argnums=(0, 1))(x, pts)
+    assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
+    assert np.isfinite(np.asarray(gp)).all() and float(jnp.abs(gp).sum()) > 0

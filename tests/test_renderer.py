@@ -187,3 +187,28 @@ def test_full_render_smoke_deterministic():
     options2 = dict(options, ray_start="auto", ray_end="auto")
     out3 = vr.render(planes, decode_fn, o, d, options2)
     assert np.isfinite(np.asarray(out3.rgb)).all()
+
+
+def test_render_packed_gather_matches_unpacked():
+    """The corner-packed single-row-gather path (default) reproduces the
+    4-corner-gather render to fp32 tolerance (same arithmetic, reordered
+    weighted sum)."""
+    N, R = 2, 16
+    planes = jnp.asarray(RNG.randn(N, 3, 8, 16, 16).astype(np.float32)) * 0.1
+
+    def decode_fn(feats):
+        x = jnp.mean(feats, axis=1)
+        return jax.nn.sigmoid(x[..., 1:]), x[..., :1] * 5
+
+    o = jnp.concatenate([jnp.zeros((N, R, 2)), jnp.ones((N, R, 1))], axis=-1)
+    d = jnp.concatenate([jnp.zeros((N, R, 2)), -jnp.ones((N, R, 1))], axis=-1)
+    options = dict(
+        box_warp=0.7, ray_start=0.5, ray_end=1.5, depth_resolution=12,
+        depth_resolution_importance=12, white_back=True, use_triplane=True,
+        disparity_space_sampling=False, render_dtype="float32",
+    )
+    got = vr.render(planes, decode_fn, o, d, options)
+    want = vr.render(planes, decode_fn, o, d, dict(options, packed_gather=False))
+    for a, b in zip(got, want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
