@@ -357,6 +357,92 @@ def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2, flat_take: bool = True):
     return out_p[..., :1], out_c, out_p[..., 1:2], out_p[..., 2:]
 
 
+def merge_composite(d1, c1, s1, x1, d2, c2, s2, x2, white_back: bool,
+                    flat_take: bool = True):
+    """Composite the merged coarse+fine sample set WITHOUT gathering colors.
+
+    Exactly ``ray_march(unify_samples(...))`` reassociated: only the narrow
+    (depth, sigma) pack rides the sorted gather; per-sample composite
+    coefficients v_j = (w_{j-1} + w_j)/2 (midpoint linearity:
+    sum_i w_i (c_i + c_{i+1})/2 = sum_j c_j v_j) are scattered back to
+    original order, and the wide color/xyz block composites as an
+    order-independent weighted sum in the order it was produced. On TPU
+    this removes the dominant 32-channel sorted row gather — gathers are
+    row-cost-bound, so shrinking sorted traffic to 2 fp32 channels + a
+    1-channel scatter is ~2x cheaper than reordering the full sample block.
+
+    Returns (composite [B,R,C], depth [B,R,1], weight_total [B,R,1]).
+    """
+    B, R = d1.shape[:2]
+    depths = jnp.concatenate([d1, d2], axis=-2)[..., 0]    # [B,R,S]
+    sigmas = jnp.concatenate([s1, s2], axis=-2)[..., 0]
+    colors = jnp.concatenate([c1, c2], axis=-2)            # [B,R,S,Cc]
+    xyz = jnp.concatenate([x1, x2], axis=-2)
+    S = depths.shape[-1]
+    idx = jnp.argsort(depths, axis=-1).astype(jnp.int32)   # [B,R,S]
+
+    pack = jnp.stack([depths, sigmas], axis=-1)            # [B,R,S,2] fp32
+    if flat_take:
+        base = (jnp.arange(B * R, dtype=jnp.int32) * S).reshape(B, R, 1)
+        gidx = (idx + base).reshape(-1)
+        pack_s = jnp.take(pack.reshape(B * R * S, 2), gidx, axis=0)
+        pack_s = pack_s.reshape(B, R, S, 2)
+    else:
+        pack_s = jnp.take_along_axis(pack, idx[..., None], axis=2)
+    d_s = pack_s[..., 0]
+    sig_s = pack_s[..., 1]
+
+    # ray_march midpoint quadrature in the sorted domain (fp32)
+    deltas = d_s[..., 1:] - d_s[..., :-1]
+    d_mid = (d_s[..., 1:] + d_s[..., :-1]) / 2
+    sig_mid = jax.nn.softplus((sig_s[..., 1:] + sig_s[..., :-1]) / 2 - 1)
+    alpha = 1 - jnp.exp(-sig_mid * deltas)                 # [B,R,S-1]
+    shifted = jnp.concatenate(
+        [jnp.ones_like(alpha[..., :1]), 1 - alpha + 1e-10], axis=-1
+    )
+    transmittance = jnp.cumprod(shifted, axis=-1)[..., :-1]
+    w = alpha * transmittance                              # [B,R,S-1]
+
+    weight_total = jnp.sum(w, axis=-1, keepdims=True)      # [B,R,1]
+    composite_depth = jnp.sum(w * d_mid, axis=-1, keepdims=True) / weight_total
+    composite_depth = jnp.nan_to_num(composite_depth, nan=jnp.inf)
+    composite_depth = jnp.clip(
+        composite_depth, jnp.min(depths), jnp.max(depths)
+    )
+
+    # per-sample coefficient in sorted order, scattered back to original
+    # order (positions are argsort output, hence unique)
+    v = (
+        jnp.pad(w, ((0, 0), (0, 0), (1, 0)))
+        + jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
+    ) / 2                                                  # [B,R,S]
+    if flat_take:
+        v_orig = (
+            jnp.zeros((B * R * S,), v.dtype)
+            .at[gidx].set(v.reshape(-1), unique_indices=True)
+            .reshape(B, R, S)
+        )
+    else:
+        bi = jnp.arange(B)[:, None, None]
+        ri = jnp.arange(R)[None, :, None]
+        v_orig = (
+            jnp.zeros((B, R, S), v.dtype)
+            .at[bi, ri, idx].set(v, unique_indices=True)
+        )
+
+    colors_aug = jnp.concatenate(
+        [colors.astype(jnp.float32), xyz.astype(jnp.float32)], axis=-1
+    )
+    composite = jnp.sum(v_orig[..., None] * colors_aug, axis=-2)
+    if white_back:
+        # ray_march applies the white background to EVERY composited
+        # channel (the xyz channels ride along, exactly as in the
+        # reference where xyz is appended to the color block)
+        composite = composite + (1 - weight_total)
+    composite = composite * 2 - 1
+    return composite, composite_depth, weight_total
+
+
 # ---------------------------------------------------------------------------
 # full renderer (renderer.py:156-280)
 
@@ -529,20 +615,23 @@ def render(
         )
         depths_fine = sample_importance(depths_coarse, weights, n_imp, key=k_imp)
         colors_fine, densities_fine, xyz_fine = eval_pass(depths_fine)
-        all_depths, all_colors, all_densities, all_xyz = unify_samples(
+        rgb_final, depth_final, wsum = merge_composite(
             depths_coarse, colors_coarse, densities_coarse, xyz_coarse,
             depths_fine, colors_fine, densities_fine, xyz_fine,
+            white_back=options.get("white_back", False),
             flat_take=ray_sharding is None,
         )
-    else:
-        all_depths, all_colors, all_densities, all_xyz = (
-            depths_coarse, colors_coarse, densities_coarse, xyz_coarse,
+        return RenderOutput(
+            rgb=rgb_final[..., :-3],
+            depth=depth_final,
+            weights=wsum,
+            xyz=rgb_final[..., -3:],
         )
 
-    # composite rgb features and xyz together so xyz rides the same weights
-    colors_aug = jnp.concatenate([all_colors, all_xyz], axis=-1)
+    # no importance pass: the coarse samples are already depth-ordered
+    colors_aug = jnp.concatenate([colors_coarse, xyz_coarse], axis=-1)
     rgb_final, depth_final, weights = ray_march(
-        colors_aug, all_densities, all_depths,
+        colors_aug, densities_coarse, depths_coarse,
         white_back=options.get("white_back", False),
     )
     return RenderOutput(

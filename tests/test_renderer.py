@@ -212,3 +212,36 @@ def test_render_packed_gather_matches_unpacked():
     for a, b in zip(got, want):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("flat_take", [True, False])
+def test_merge_composite_matches_unify_plus_ray_march(flat_take):
+    """merge_composite is ray_march(unify_samples(...)) reassociated: the
+    scatter-back-coefficients form must reproduce the sorted-gather form."""
+    B, R, S1, S2, C = 2, 8, 6, 5, 7
+    d1 = jnp.asarray(np.sort(RNG.rand(B, R, S1, 1), axis=2).astype(np.float32))
+    d2 = jnp.asarray(np.sort(RNG.rand(B, R, S2, 1), axis=2).astype(np.float32))
+    c1 = jnp.asarray(RNG.rand(B, R, S1, C).astype(np.float32))
+    c2 = jnp.asarray(RNG.rand(B, R, S2, C).astype(np.float32))
+    s1 = jnp.asarray(RNG.randn(B, R, S1, 1).astype(np.float32) * 3)
+    s2 = jnp.asarray(RNG.randn(B, R, S2, 1).astype(np.float32) * 3)
+    x1 = jnp.asarray(RNG.randn(B, R, S1, 3).astype(np.float32))
+    x2 = jnp.asarray(RNG.randn(B, R, S2, 3).astype(np.float32))
+
+    for white_back in (False, True):
+        ad, ac, asig, ax = vr.unify_samples(d1, c1, s1, x1, d2, c2, s2, x2)
+        want_rgb, want_depth, want_w = vr.ray_march(
+            jnp.concatenate([ac, ax], axis=-1), asig, ad, white_back=white_back
+        )
+        got_rgb, got_depth, got_wsum = vr.merge_composite(
+            d1, c1, s1, x1, d2, c2, s2, x2,
+            white_back=white_back, flat_take=flat_take,
+        )
+        np.testing.assert_allclose(np.asarray(got_rgb), np.asarray(want_rgb),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_depth), np.asarray(want_depth),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got_wsum), np.asarray(jnp.sum(want_w, axis=2)),
+            rtol=1e-5, atol=1e-5,
+        )
