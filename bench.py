@@ -63,6 +63,17 @@ def main():
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
 
+    # sustained mode: queue all calls, sync once at the end. Calls execute
+    # in order on the single device stream, so reading the LAST checksum
+    # bounds them all; this hides the per-call host RPC latency of the
+    # tunnel, matching how eval.generate actually renders (many views per
+    # portrait, pipelined). Reported alongside the per-call number.
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        _, chk = forward(params, xin)
+    float(chk)
+    dt_sustained = (time.perf_counter() - t0) / n_iters
+
     views_per_sec = bs / dt
     baseline = 2.0  # est. torch reference on RTX 3080 Ti (see docstring)
     out = {
@@ -70,6 +81,7 @@ def main():
         "value": round(views_per_sec, 3),
         "unit": "views/s",
         "vs_baseline": round(views_per_sec / baseline, 3),
+        "views_per_sec_sustained": round(bs / dt_sustained, 3),
     }
     mfu = _mfu(forward, params, xin, dt)
     if mfu:

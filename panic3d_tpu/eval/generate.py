@@ -40,6 +40,49 @@ EVAL_VIEWS = [
     ("camO", "back", 0, 180, -1),
 ]
 
+_RENDER_JIT = {}
+
+
+def _get_render_jit(g, opts, seed, vb):
+    """One jitted view-batch forward per (model, opts, seed, batch) —
+    compiled once, reused across every view batch of every portrait.
+
+    The per-view eager G.f this replaces dispatched each op over the host
+    link; batching vb views per call also amortizes the per-call RPC
+    latency (bench.py: vb=2 is the per-chip optimum at 512²). Ortho and
+    pinhole views mix freely in one batch (fov<0 selects ortho rays
+    per element)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.triplane import TriPlaneGenerator
+
+    key = (id(g), repr(opts), seed, vb)
+    if key not in _RENDER_JIT:
+
+        @jax.jit
+        def render(variables, elevations, azimuths, fovs, cond):
+            cond_b = jax.tree_util.tree_map(
+                lambda a: jnp.broadcast_to(a, (vb,) + a.shape[1:]), cond
+            )
+            xin = {
+                "elevations": elevations,
+                "azimuths": azimuths,
+                "fovs": fovs,
+                "cond": cond_b,
+                "seeds": [seed] * vb,
+                **opts,
+            }
+            out = g.apply(
+                variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
+            )
+            return {
+                k: out[k] for k in ("image", "image_xyz", "image_weights")
+            }
+
+        _RENDER_JIT[key] = render
+    return _RENDER_JIT[key]
+
 
 def main(argv=None):
     import jax
@@ -68,6 +111,9 @@ def main(argv=None):
                     help="marching-cubes iso level (reference: 0.5)")
     ap.add_argument("--no-filters", action="store_true",
                     help="disable triplane_crop/cull_clouds (random-init smoke)")
+    ap.add_argument("--view-batch", type=int, default=2,
+                    help="views rendered per jitted call (2 = per-chip "
+                         "optimum at 512², bench.py)")
     args = ap.parse_args(argv)
 
     opts = dict(INFERENCE_OPTS)
@@ -149,30 +195,23 @@ def main(argv=None):
         with open(fn_march, "wb") as f:
             pickle.dump(dict(mc), f)
 
-        # images
-        for cm, cam_view, elev, azim, fov in EVAL_VIEWS + spin:
-            xin = {
-                "elevations": jnp.asarray([float(elev)]),
-                "azimuths": jnp.asarray([float(azim)]),
-                "fovs": jnp.asarray([float(fov)]),
-                "cond": cond,
-                "seeds": [args.seed],
-                **opts,
-            }
-            out = g.apply(
-                variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
+        # images — jitted view batches (compile shared across portraits);
+        # PNG saving happens after each batch returns so the device calls
+        # pipeline without per-view host syncs
+        views = EVAL_VIEWS + spin
+        vb = min(args.view_batch, len(views))
+        render = _get_render_jit(g, opts, args.seed, vb)
+        for i in range(0, len(views), vb):
+            chunk = views[i : i + vb]
+            cc = chunk + [chunk[-1]] * (vb - len(chunk))
+            out = render(
+                variables,
+                jnp.asarray([float(c[2]) for c in cc]),
+                jnp.asarray([float(c[3]) for c in cc]),
+                jnp.asarray([float(c[4]) for c in cc]),
+                cond,
             )
-            sub = "ortho" if cm == "camO" else "rgb60"
-            sub_x = "ortho_xyza" if cm == "camO" else "xyza60"
-            fn_rgb = os.path.join(
-                edn, bn.replace("fandom_align", sub).replace("/front", f"/{cam_view}")
-                + ".png",
-            )
-            fn_xyza = os.path.join(
-                edn,
-                bn.replace("fandom_align", sub_x).replace("/front", f"/{cam_view}")
-                + ".png",
-            )
+            imgs = np.asarray(out["image"])
             xyza = np.concatenate(
                 [
                     (np.asarray(out["image_xyz"]) + bw / 2) / bw,
@@ -180,8 +219,23 @@ def main(argv=None):
                 ],
                 axis=1,
             )
-            from_model_output(out["image"], normalize=False).save(fn_rgb)
-            Img(np.clip(xyza[0], 0, 1)).save(fn_xyza)
+            for j, (cm, cam_view, *_rest) in enumerate(chunk):
+                sub = "ortho" if cm == "camO" else "rgb60"
+                sub_x = "ortho_xyza" if cm == "camO" else "xyza60"
+                fn_rgb = os.path.join(
+                    edn,
+                    bn.replace("fandom_align", sub).replace(
+                        "/front", f"/{cam_view}"
+                    ) + ".png",
+                )
+                fn_xyza = os.path.join(
+                    edn,
+                    bn.replace("fandom_align", sub_x).replace(
+                        "/front", f"/{cam_view}"
+                    ) + ".png",
+                )
+                from_model_output(imgs[j : j + 1], normalize=False).save(fn_rgb)
+                Img(np.clip(xyza[j], 0, 1)).save(fn_xyza)
         print(bn, "done")
 
 

@@ -36,6 +36,27 @@ def sigma2density(sigma):
     return 1 - jnp.exp(-jax.nn.softplus(sigma - 1))
 
 
+def create_samples_device(N: int, cube_length: float, chunk: int):
+    """Device-side twin of create_samples: [n_chunks, chunk, 3] jnp array
+    built from iota INSIDE a jit — the host never materializes (nor
+    uploads) the 201 MB coordinate grid. Same fp32 float-division lattice
+    quirk (values may differ from the host version by division-rounding
+    ulps, far below any geometric tolerance). 256³ = 2^24 so every flat
+    index is exactly representable in fp32."""
+    origin = jnp.float32(-cube_length / 2)
+    voxel_size = jnp.float32(cube_length / (N - 1))
+    n = N ** 3
+    pad = (-n) % chunk
+    idx_i = jax.lax.broadcasted_iota(jnp.int32, (n + pad, 1), 0)[..., 0]
+    idx = idx_i.astype(jnp.float32)
+    fN = jnp.float32(N)
+    s2 = (idx_i % N).astype(jnp.float32)
+    s1 = jnp.mod(idx / fN, fN)
+    s0 = jnp.mod(idx / fN / fN, fN)
+    s = jnp.stack([s0, s1, s2], axis=-1) * voxel_size + origin
+    return s.reshape(-1, chunk, 3)
+
+
 def create_samples(N: int, cube_length: float) -> np.ndarray:
     """The reference's voxel grid layout (eg3d_metrics3d.py:70-92),
     including its float-division quirk: columns 0/1 use FLOAT division of
@@ -112,7 +133,28 @@ def _cached_decoder(G: "TriPlaneGenerator", mesh=None):
             sig, rgb = jax.lax.map(body, chunks)
             return sig.reshape(-1, 1), rgb.reshape(-1, rgb.shape[-1])
 
-        _DECODER_CACHE[key] = (planes_from_z, planes_from_ws, decode_all)
+        @jax.jit
+        def decode_sigma(variables, planes, chunks):
+            # sigma-only decode for the mesh path: materializing rgb for
+            # every voxel writes ~2.1 GB of dead fp32 at 256³ (the scan
+            # stacks it even though the caller drops it) — keeping only
+            # sigma in the loop outputs removes those HBM writes entirely
+            def body(coords):
+                c = coords[None]
+                if point_sharding is not None:
+                    c = jax.lax.with_sharding_constraint(c, point_sharding)
+                out = G.apply(
+                    variables, planes, c,
+                    method=TriPlaneGenerator.sample_mixed_planes,
+                )
+                return out["sigma"][0]
+
+            sig = jax.lax.map(body, chunks)
+            return sig.reshape(-1, 1)
+
+        _DECODER_CACHE[key] = (
+            planes_from_z, planes_from_ws, decode_all, decode_sigma
+        )
     return _DECODER_CACHE[key]
 
 
@@ -135,7 +177,7 @@ def get_volume(
     cull_clouds = xin.get("cull_clouds", cull_clouds)
 
     # resolve ws + planes in one compiled pipeline (eg3d_metrics3d.py:100-109)
-    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G, mesh)
+    planes_from_z, planes_from_ws, decode_all, _ = _cached_decoder(G, mesh)
     xin_ = dict(xin)
     xin_.setdefault("elevations", jnp.zeros(1))
     xin_.setdefault("azimuths", jnp.zeros(1))
@@ -212,7 +254,9 @@ def extract_mesh(
     triplane_crop = xin.get("triplane_crop")
     cull_clouds = xin.get("cull_clouds")
 
-    planes_from_z, planes_from_ws, decode_all = _cached_decoder(G, mesh)
+    planes_from_z, planes_from_ws, decode_all, decode_sigma = _cached_decoder(
+        G, mesh
+    )
     xin_ = dict(xin)
     xin_.setdefault("elevations", jnp.zeros(1))
     xin_.setdefault("azimuths", jnp.zeros(1))
@@ -233,19 +277,19 @@ def extract_mesh(
         planes = planes_from_ws(variables, xin_["ws"], xin_.get("cond"))
 
     N = resolution
-    samples = create_samples(N, bw)
-    pad = (-samples.shape[0]) % chunk
-    chunks = jnp.asarray(np.pad(samples, ((0, pad), (0, 0))).reshape(-1, chunk, 3))
-
-    key = ("mesh", id(G), id(mesh), bool(triplane_crop), bool(cull_clouds),
-           jnp.dtype(density_dtype).name)
+    key = ("mesh", id(G), id(mesh), N, chunk, bool(triplane_crop),
+           bool(cull_clouds), jnp.dtype(density_dtype).name)
     if key not in _DECODER_CACHE:
 
         @jax.jit
-        def density_grid(variables, planes, chunks, tc, cc):
-            sig, _ = decode_all(variables, planes, chunks)
+        def density_grid(variables, planes, tc, cc):
+            # the coordinate lattice is generated ON DEVICE: shipping the
+            # host-built 201 MB chunk array through the host link cost more
+            # than the whole decode
+            chunks_d = create_samples_device(N, bw, chunk)
+            sig = decode_sigma(variables, planes, chunks_d)
             d = sigma2density(sig[None])
-            coords = chunks.reshape(1, -1, 3)[:, : d.shape[1]]
+            coords = chunks_d.reshape(1, -1, 3)[:, : d.shape[1]]
             if triplane_crop:
                 d = jnp.where(triplane_crop_mask(coords, tc, bw), -1e3, d)
             if cull_clouds:
@@ -257,7 +301,7 @@ def extract_mesh(
 
     n = N**3
     d = density_grid(
-        variables, planes, chunks,
+        variables, planes,
         triplane_crop or 0.0, cull_clouds or 0.0,
     )[0, :n, 0]
     vol = np.asarray(d, dtype=np.float32).reshape(N, N, N)[::-1]  # flip axis 0
@@ -287,11 +331,22 @@ def extract_mesh(
             ],
             axis=1,
         )
-        pad_v = (-len(world)) % 1024
-        wq = jnp.asarray(np.pad(world, ((0, pad_v), (0, 0)))[None])
-        out = G.apply(variables, planes, wq,
-                      method=TriPlaneGenerator.sample_mixed_planes)
-        colors = np.asarray(out["rgb"][0, : len(verts), :3], dtype=np.float32)
+        # pad to power-of-two buckets so the jitted color decode compiles
+        # once per bucket, not once per vertex count (an eager apply here
+        # costs seconds: each op is a host round trip)
+        bucket = max(1024, 1 << int(np.ceil(np.log2(len(world)))))
+        wq = jnp.asarray(
+            np.pad(world, ((0, bucket - len(world)), (0, 0)))[None]
+        )
+        ckey = ("vcolors", id(G))
+        if ckey not in _DECODER_CACHE:
+            _DECODER_CACHE[ckey] = jax.jit(
+                lambda v, p, w: G.apply(
+                    v, p, w, method=TriPlaneGenerator.sample_mixed_planes
+                )["rgb"]
+            )
+        rgb = _DECODER_CACHE[ckey](variables, planes, wq)
+        colors = np.asarray(rgb[0, : len(verts), :3], dtype=np.float32)
 
     verts_w = verts / N * bw - 0.5 * bw
     return Dict(
