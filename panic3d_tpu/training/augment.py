@@ -6,11 +6,12 @@ discriminator inputs, with the tunable global strength `p` driven by the
 ADA heuristic (training_loop_v0.py:398-402). Disabled in the shipped
 PAniC-3D run (--aug noaug, train_eclustrousC.py:208).
 
-Deviation from the reference: geometric warps use a single affine +
-bilinear resample (ops/grid_sample) instead of the reference's orthogonal
--wavelet filtered transform stack — the augmentation distribution matches;
-the antialiasing quality differs slightly. Color transforms, noise and
-cutout are exact.
+Geometric warps run the reference's sym6-wavelet-filtered transform stack
+(reflect pad -> filtered 2x upsample -> affine sample -> filtered 2x
+downsample, augment.py:273-308), oracle-tested against the torch pipe; the
+one deviation is a static pad margin (see execute_geometric_filtered).
+AugmentConfig(filtered=False) selects a cheap single bilinear resample
+instead. Color transforms, noise and cutout are exact.
 """
 
 from __future__ import annotations
@@ -48,6 +49,9 @@ class AugmentConfig:
     contrast_std: float = 0.5
     hue_max: float = 1.0
     saturation_std: float = 1.0
+    # sym6 wavelet-filtered geometric execution (reference-exact); False
+    # selects the cheap single bilinear resample
+    filtered: bool = True
     noise: float = 0.0
     cutout: float = 0.0
     noise_std: float = 0.1
@@ -84,6 +88,78 @@ def _scale2(sx, sy):
     return jnp.stack(
         [jnp.stack([sx, z, z], -1), jnp.stack([z, sy, z], -1),
          jnp.stack([z, z, o], -1)], -2,
+    )
+
+
+# sym6 orthogonal-wavelet low-pass, the reference's geometric antialiasing
+# filter (augment.py:42,174)
+WAVELET_SYM6 = np.asarray([
+    0.015404109327027373, 0.0034907120842174702, -0.11799011114819057,
+    -0.048311742585633, 0.4910559419267466, 0.787641141030194,
+    0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
+    0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
+], dtype=np.float32)
+
+
+def _const2(m):
+    return jnp.asarray(m, dtype=jnp.float32)
+
+
+def execute_geometric_filtered(images, Ginv_norm, margin: Optional[int] = None):
+    """The reference's antialiased geometric warp (augment.py:273-308):
+    reflect-pad -> sym6-filtered 2x upsample -> affine bilinear sample at 2x
+    -> sym6-filtered 2x downsample with crop. Operation-for-operation port;
+    the ONE deviation is a STATIC symmetric pad margin (XLA needs static
+    shapes; the reference computes a per-batch dynamic margin from the
+    transform's reach, clipped to width-1 — points mapping beyond the
+    static margin fall to zeros exactly as the reference's clipped case).
+
+    Ginv_norm: [N,3,3] mapping OUTPUT -> INPUT in align_corners=True
+    normalized coords (the accumulation convention of augment_pipe).
+    """
+    from ..ops.upfirdn2d import downsample2d, setup_filter, upsample2d
+
+    N, C, H, W = images.shape
+    Hz = setup_filter(WAVELET_SYM6)            # 1D separable (12 taps)
+    Hz_pad = WAVELET_SYM6.shape[0] // 4        # = 3 (augment.py:284)
+    m = margin if margin is not None else min(W - 1, W // 4 + Hz_pad * 2)
+
+    # normalized(align_corners=True) -> centered pixel units
+    D = np.diag([(W - 1) / 2.0, (H - 1) / 2.0, 1.0])
+    G = _const2(D) @ Ginv_norm @ _const2(np.linalg.inv(D))
+
+    images = jnp.pad(
+        images, ((0, 0), (0, 0), (m, m), (m, m)), mode="reflect"
+    )
+
+    # upsample (augment.py:297-300): pixel-coordinate corrections exactly
+    # as the reference composes them
+    images = upsample2d(images, Hz, up=2)
+    G = _const2(np.diag([2.0, 2.0, 1.0])) @ G @ _const2(np.diag([0.5, 0.5, 1.0]))
+    T = np.eye(3); T[0, 2] = T[1, 2] = -0.5
+    G = _const2(T) @ G @ _const2(np.linalg.inv(T))
+
+    # affine sample at 2x over the (H + 2*Hz_pad) target (augment.py:302-305)
+    Sh, Sw = (H + Hz_pad * 2) * 2, (W + Hz_pad * 2) * 2
+    h_up, w_up = images.shape[2], images.shape[3]
+    G = (
+        _const2(np.diag([2.0 / w_up, 2.0 / h_up, 1.0]))
+        @ G
+        @ _const2(np.diag([Sw / 2.0, Sh / 2.0, 1.0]))
+    )
+    # torch affine_grid(align_corners=False) output coords: (2i+1)/S - 1
+    ys = (jnp.arange(Sh, dtype=jnp.float32) + 0.5) * 2 / Sh - 1
+    xs = (jnp.arange(Sw, dtype=jnp.float32) + 0.5) * 2 / Sw - 1
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    grid = jnp.stack([xx, yy, jnp.ones_like(xx)], axis=-1)  # [Sh,Sw,3]
+    warped = jnp.einsum("nij,hwj->nhwi", G, grid)[..., :2]
+    images = grid_sample_2d(
+        images, warped, padding_mode="zeros", align_corners=False
+    )
+
+    # downsample and crop (augment.py:308)
+    return downsample2d(
+        images, Hz, down=2, padding=-Hz_pad * 2, flip_filter=True
     )
 
 
@@ -138,15 +214,18 @@ def augment_pipe(images, key, p: float, cfg: AugmentConfig = AugmentConfig.bgc()
     # resample through the inverse affine
     if cfg.xflip + cfg.rotate90 + cfg.xint + cfg.scale + cfg.rotate + cfg.aniso + cfg.xfrac > 0:
         Ginv = jnp.linalg.inv(G)
-        ys, xs = jnp.meshgrid(
-            jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
-        )
-        grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # [H,W,3]
-        warped = jnp.einsum("nij,hwj->nhwi", Ginv, grid)[..., :2]
-        # grid built corner-aligned (linspace(-1,1)) -> align_corners=True
-        images = grid_sample_2d(
-            images, warped, padding_mode="zeros", align_corners=True
-        )
+        if cfg.filtered:
+            images = execute_geometric_filtered(images, Ginv)
+        else:
+            ys, xs = jnp.meshgrid(
+                jnp.linspace(-1, 1, H), jnp.linspace(-1, 1, W), indexing="ij"
+            )
+            grid = jnp.stack([xs, ys, jnp.ones_like(xs)], axis=-1)  # [H,W,3]
+            warped = jnp.einsum("nij,hwj->nhwi", Ginv, grid)[..., :2]
+            # grid corner-aligned (linspace(-1,1)) -> align_corners=True
+            images = grid_sample_2d(
+                images, warped, padding_mode="zeros", align_corners=True
+            )
 
     # color transforms (4x4 homogeneous color matrix)
     Cm = jnp.broadcast_to(jnp.eye(4), (N, 4, 4))

@@ -397,29 +397,56 @@ def main(argv=None):
     tick_interval = max(args.tick * 1000 // args.batch, 1)
     t_start = time.time()
 
+    # input pipeline: batch assembly + device_put run in a worker thread so
+    # the device never idles on input (DataLoader-workers role); per-step
+    # stats stay ON DEVICE and are read back in batches, otherwise every
+    # float() is a host sync that serializes the step pipeline
+    from ..data.prefetch import Prefetcher
+
+    def _prepare(b):
+        return make_global_batch(
+            jax.tree_util.tree_map(jnp.asarray, b), mesh, batch_sharding(mesh)
+        )
+
+    batch_queue = Prefetcher(batch_iter, _prepare, depth=2)
+    pending = []  # [(step_i, device-stats dict)]
+    flush_interval = (
+        args.ada_interval if args.aug == "ada" else min(tick_interval, 64)
+    )
+
+    def flush_pending():
+        nonlocal pending
+        if not pending:
+            return
+        vals = jax.device_get([s for _, s in pending])
+        for v in vals:
+            collector.report_dict({k: float(x) for k, x in v.items()})
+        signs = [float(v["Loss/signs/real"]) for v in vals
+                 if "Loss/signs/real" in v]
+        pending = []
+        return signs
+
     signs_hist = []
     for step_i in range(int(state.cur_nimg) // args.batch, total_steps):
         active = phases_for_step(step_i, train_cfg)
         if active not in steps:
             steps[active] = jax.jit(build_train_step(loss, train_cfg, g.z_dim, active))
-        batch = make_global_batch(
-            jax.tree_util.tree_map(jnp.asarray, next(batch_iter)),
-            mesh, batch_sharding(mesh),
-        )
+        batch = next(batch_queue)
         key, sk = jax.random.split(key)
         state, stats = steps[active](state, batch, sk)
-        collector.report_dict({k: float(v) for k, v in stats.items()})
+        pending.append((step_i, stats))
+
+        if len(pending) >= flush_interval or step_i % tick_interval == 0:
+            signs_hist.extend(flush_pending() or [])
 
         # ADA heuristic (training_loop_v0.py:398-402)
-        if args.aug == "ada" and "Loss/signs/real" in stats:
-            signs_hist.append(float(stats["Loss/signs/real"]))
-            if len(signs_hist) >= args.ada_interval:
-                state = ada_update(
-                    state, float(np.mean(signs_hist)), args.ada_target,
-                    args.batch, args.ada_interval, ada_kimg,
-                )
-                signs_hist.clear()
-                collector.report_dict({"Progress/augment": float(state.aug_p)})
+        if args.aug == "ada" and len(signs_hist) >= args.ada_interval:
+            state = ada_update(
+                state, float(np.mean(signs_hist)), args.ada_target,
+                args.batch, args.ada_interval, ada_kimg,
+            )
+            signs_hist.clear()
+            collector.report_dict({"Progress/augment": float(state.aug_p)})
 
         if step_i % tick_interval == 0 and leader:
             kimg = int(state.cur_nimg) / 1000
@@ -447,6 +474,8 @@ def main(argv=None):
                     _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
                 print(f"saved {snap}")
 
+    flush_pending()
+    batch_queue.close()
     if leader:
         snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
         save_checkpoint(snap, jax.device_get(state), config=vars(args))

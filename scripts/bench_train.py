@@ -1,0 +1,117 @@
+"""Training-step throughput on the real chip (imgs/sec/chip).
+
+Runs the full GAN train step (all loss phases of the flagship recipe:
+adversarial + ortho recon views + density reg + R1, per-phase Adam, EMA)
+on synthetic data. Presets:
+  tiny     — smoke-scale model (fast compile sanity check)
+  flagship — the 512² ecrutileE_eclustrousC training shape (one chip)
+
+Usage: python scripts/bench_train.py [--preset flagship] [--batch 2]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/panic3d_jax_cache_tpu")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="tiny", choices=["tiny", "flagship"])
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
+    from panic3d_tpu import configs
+    from panic3d_tpu.data.dataset import synthetic_batch
+    from panic3d_tpu.models.dual_discriminator import DualDiscriminator
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.training import (
+        LossConfig, TrainConfig, build_train_step, init_state,
+    )
+    from panic3d_tpu.training.setup import init_lpips, make_loss
+
+    bs = args.batch
+    if args.preset == "flagship":
+        g = configs.flagship()
+        size = 512
+        chonk_ch, feat_dim = 512, 512
+        d = DualDiscriminator(c_dim=25, img_resolution=512, img_channels=3)
+    else:
+        g = configs.tiny(
+            img_resolution=128, backbone_resolution=32,
+            neural_rendering_resolution=16,
+            cond_mode="ortho_front.add_4.reschonk_add_16",
+            rendering_kwargs=dict(
+                superresolution_module="training.superresolution.SuperresolutionHybrid2X",
+                depth_resolution=6, depth_resolution_importance=6,
+                box_warp=0.7, ray_start=0.5, ray_end=1.5,
+                white_back=True, use_triplane=True,
+            ),
+        )
+        size = 128
+        chonk_ch, feat_dim = 16, 32
+        d = DualDiscriminator(
+            c_dim=25, img_resolution=128, img_channels=3,
+            channel_base=1024, channel_max=32,
+            epilogue_kwargs=dict(mbstd_group_size=2),
+        )
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray,
+        synthetic_batch(bs=bs, size=size, chonk_ch=chonk_ch, feat_dim=feat_dim),
+    )
+    key = jax.random.PRNGKey(0)
+    xin = {"z": jnp.zeros((bs, g.z_dim)), "camera_params": batch["camera"],
+           "cond": batch["cond"]}
+    vars_G = g.init({"params": key, "noise": key}, xin,
+                    method=TriPlaneGenerator.f, noise_mode="const")
+    vars_D = d.init(
+        {"params": key},
+        {"image": batch["image"],
+         "image_raw": jnp.zeros(
+             (bs, 3, g.neural_rendering_resolution,
+              g.neural_rendering_resolution))},
+        batch["camera"], batch["cond"],
+    )
+    cfg = LossConfig(
+        lambda_gcond_lpips=10.0, lambda_gcond_l1=10.0,
+        lambda_gcond_sides_lpips=10.0, lambda_gcond_rand_lpips=10.0,
+    )
+    loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const")
+    tcfg = TrainConfig(batch_size=bs)
+    state = init_state(vars_G, vars_D, tcfg)
+    phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Grand",
+              "Greg", "Dmain", "Dreg")
+    step = jax.jit(build_train_step(loss, tcfg, g.z_dim, phases))
+
+    t0 = time.perf_counter()
+    state, stats = step(state, batch, jax.random.PRNGKey(1))
+    float(list(stats.values())[0])
+    print(f"compile+first step: {time.perf_counter()-t0:.1f} s")
+
+    ts = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        state, stats = step(state, batch, jax.random.PRNGKey(2 + i))
+        float(list(stats.values())[0])
+        ts.append(time.perf_counter() - t0)
+    dt = float(np.median(ts))
+    print({
+        "metric": f"train_step_{args.preset}_imgs_per_sec_per_chip",
+        "sec_per_step": round(dt, 3),
+        "imgs_per_sec": round(bs / dt, 3),
+        "batch": bs,
+    })
+
+
+if __name__ == "__main__":
+    main()

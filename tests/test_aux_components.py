@@ -180,3 +180,37 @@ def test_tagger_loss_and_f2():
     logits = jnp.asarray([[10.0, -10.0, 10.0]])
     labels = jnp.asarray([[1.0, 0.0, 1.0]])
     assert float(f_beta(logits, labels)) == 1.0
+
+
+def test_filtered_warp_matches_torch_ada_rotation():
+    """execute_geometric_filtered vs the reference AugmentPipe running the
+    same deterministic rotation (debug_percentile makes the transform
+    parameters deterministic; reference augment.py:242-246)."""
+    import sys
+
+    import torch
+
+    from tests.ref_torch import SRC
+
+    if SRC not in sys.path:
+        sys.path.insert(0, SRC)
+    import training.augment as ref_aug
+
+    from panic3d_tpu.training.augment import (
+        _rot2,
+        execute_geometric_filtered,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    q = 0.75
+    theta = (q * 2 - 1) * np.pi * 0.25
+
+    pipe = ref_aug.AugmentPipe(rotate=1.0, rotate_max=0.25)
+    pipe.p.copy_(torch.as_tensor(1.0))
+    with torch.no_grad():
+        want = pipe(torch.tensor(x), debug_percentile=q).numpy()
+
+    Ginv = _rot2(jnp.full((2,), theta, jnp.float32))
+    got = np.asarray(execute_geometric_filtered(jnp.asarray(x), Ginv))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)

@@ -159,3 +159,38 @@ def test_databackend_walk(tmp_path):
     assert x["render_params"]["fov"] == -1
     # dtype aliasing injected ortho_xyza entry
     assert "rutileE/ortho_xyza/f/123/front" in dk.rp_meta
+
+
+# ---------------------------------------------------------------------------
+# background prefetcher (data/prefetch.py)
+
+def test_prefetcher_yields_prepared_items_in_order():
+    from panic3d_tpu.data.prefetch import Prefetcher
+
+    src = iter(range(20))
+    pf = Prefetcher(src, prepare=lambda x: x * 10, depth=3)
+    assert list(pf) == [i * 10 for i in range(20)]
+
+
+def test_prefetcher_propagates_worker_exception():
+    from panic3d_tpu.data.prefetch import Prefetcher
+
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    pf = Prefetcher(gen(), prepare=lambda x: x)
+    assert next(pf) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="boom"):
+        next(pf)
+
+
+def test_prefetcher_close_unblocks_worker():
+    from panic3d_tpu.data.prefetch import Prefetcher
+    import itertools
+
+    pf = Prefetcher(itertools.count(), prepare=lambda x: x, depth=1)
+    assert next(pf) == 0
+    pf.close()  # must not hang
