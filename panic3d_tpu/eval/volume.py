@@ -199,9 +199,9 @@ def get_volume(
 
     samples = create_samples(resolution, bw)
     n = samples.shape[0]
-    pad = (-n) % chunk
-    samples_p = np.pad(samples, ((0, pad), (0, 0)))
-    chunks = jnp.asarray(samples_p.reshape(-1, chunk, 3))
+    # decode against the device-generated lattice (no 201 MB host upload);
+    # the host `samples` array is only the returned coordinate grid
+    chunks = create_samples_device(resolution, bw, chunk)
 
     sigmas, rgbs = decode_all(variables, planes, chunks)
     sigmas = sigmas[:n][None]
