@@ -41,10 +41,20 @@ def main():
         method=TriPlaneGenerator.f, noise_mode="const",
     )
 
+    # BENCH_PASTE=1 adds the eval.generate paste_params (front-paste
+    # compositing: two extra plane-reused volume renders per call)
+    paste = os.environ.get("BENCH_PASTE", "0") == "1"
+    popts = dict(
+        mode="default", thresh_weight=0.95, thresh_edges=0.02,
+        thresh_occ=0.05, offset_occ=0.01, thresh_dxyz=0.000005,
+    ) if paste else None
+
     @jax.jit
     def forward(params, xin):
         # eval-time density filters are static config, not traced inputs
         xin = dict(xin, triplane_crop=0.1, cull_clouds=0.5)
+        if popts:
+            xin["paste_params"] = popts
         out = g.apply(params, xin, method=TriPlaneGenerator.f, noise_mode="const")
         # scalar checksum: forces execution to completion on platforms whose
         # block_until_ready is lazy (axon tunnel), with an 8-byte host read

@@ -241,6 +241,8 @@ class TriPlaneGenerator(nn.Module):
         normalize_images=True,
         render_key=None,
         ray_sharding=None,
+        planes=None,
+        skip_superresolution=False,
         **synthesis_kwargs,
     ):
         """triplane.py:145-252. Returns the output dict.
@@ -267,10 +269,12 @@ class TriPlaneGenerator(nn.Module):
                 rd = rd.reshape(N, 3, -1).transpose(0, 2, 1)
             ray_origins, ray_directions = ro, rd
 
-        planes = self._planes_from_ws(
-            ws, cond, update_emas=update_emas, latent_injection=latent_injection,
-            stop_level=stop_level, **synthesis_kwargs,
-        )
+        if planes is None:
+            planes = self._planes_from_ws(
+                ws, cond, update_emas=update_emas,
+                latent_injection=latent_injection,
+                stop_level=stop_level, **synthesis_kwargs,
+            )
 
         decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
         out = vr.render(
@@ -292,11 +296,17 @@ class TriPlaneGenerator(nn.Module):
         )
 
         rgb_image = feature_image[:, :3]
-        sr_image = self.superresolution(
-            rgb_image, feature_image, ws,
-            noise_mode=rk["superresolution_noise_mode"],
-            **{k: v for k, v in synthesis_kwargs.items() if k != "noise_mode"},
-        )
+        if skip_superresolution:
+            # paste-front's auxiliary renders only consume image_weights;
+            # SR is channel-independent of them, so skipping it is
+            # output-identical for those consumers
+            sr_image = None
+        else:
+            sr_image = self.superresolution(
+                rgb_image, feature_image, ws,
+                noise_mode=rk["superresolution_noise_mode"],
+                **{k: v for k, v in synthesis_kwargs.items() if k != "noise_mode"},
+            )
 
         ans = {
             "image": sr_image,
@@ -307,10 +317,12 @@ class TriPlaneGenerator(nn.Module):
             "image_xyz": xyz_image,
         }
         if rk.get("tanh_rgb_output", False):
-            ans["image"] = jnp.tanh(ans["image"])
+            if ans["image"] is not None:
+                ans["image"] = jnp.tanh(ans["image"])
             ans["image_raw"] = jnp.tanh(ans["image_raw"])
         if not normalize_images:
-            ans["image"] = 0.5 * ans["image"] + 0.5
+            if ans["image"] is not None:
+                ans["image"] = 0.5 * ans["image"] + 0.5
             ans["image_raw"] = 0.5 * ans["image_raw"] + 0.5
         return ans
 
@@ -471,6 +483,8 @@ class TriPlaneGenerator(nn.Module):
             normalize_images=normalize_images,
             neural_rendering_resolution=res,
             update_emas=x.get("update_emas", False),
+            planes=x.get("_planes"),
+            skip_superresolution=x.get("_skip_sr", False),
             **synthesis_kwargs,
         )
         ret = {
@@ -510,6 +524,13 @@ class TriPlaneGenerator(nn.Module):
         xin = {k: v for k, v in x.items() if k not in ("paste_params", "force_rays")}
         xin["paste_params"] = None
         xin["force_rays"] = {"ray_origins": ro, "ray_directions": rd}
+        # reuse the outer call's planes (ws is already in x): the reference's
+        # recursive G.f re-runs synthesis against the SAME stateful noise
+        # buffers, so plane reuse is output-identical and skips the backbone;
+        # SR never feeds image_weights, so it is skipped too
+        if "triplane" in x:
+            xin["_planes"] = x["triplane"]
+        xin["_skip_sr"] = True
         return self.f(xin, **(synthesis_kwargs or {}))["image_weights"]
 
     def _get_front_weights(self, x, synthesis_kwargs=None):
@@ -523,6 +544,10 @@ class TriPlaneGenerator(nn.Module):
         xin["elevations"] = jnp.zeros(bs)
         xin["azimuths"] = jnp.zeros(bs)
         xin["fovs"] = -jnp.ones(bs)
+        xin.pop("camera_params", None)
+        if "triplane" in x:
+            xin["_planes"] = x["triplane"]
+        xin["_skip_sr"] = True
         return self.f(xin, **(synthesis_kwargs or {}))["image_weights"]
 
     @staticmethod
