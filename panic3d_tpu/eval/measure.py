@@ -71,6 +71,9 @@ def main(argv=None):
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--roi-space", type=int, default=512,
                     help="pixel space the alignment ROIs are defined in")
+    ap.add_argument("--allow-random-metrics", action="store_true",
+                    help="permit random-init CLIP/LPIPS (smoke tests only; "
+                         "2D metric VALUES are then meaningless)")
     args = ap.parse_args(argv)
 
     edn = args.out or f"./temp/eval/{args.name}"
@@ -85,6 +88,12 @@ def main(argv=None):
     ) as f:
         aligndata = pickle.load(f)
 
+    if not (args.clip_weights and args.lpips_weights) and not args.allow_random_metrics:
+        raise SystemExit(
+            "refusing to report 2D metrics from random-init CLIP/LPIPS nets "
+            "(values would not be paper-comparable): pass --clip-weights and "
+            "--lpips-weights (runtime/convert.py) or --allow-random-metrics"
+        )
     clip_sim = CLIPSimilarity(
         load_clip_params(args.clip_weights) if args.clip_weights else None
     )

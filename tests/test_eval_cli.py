@@ -164,7 +164,9 @@ def test_generate_then_measure(bench_tree, tmp_path):
     spins = os.listdir(os.path.join(base, "rgb60", FRANCH, IDX))
     assert len(spins) == 12
 
-    ans2d, ans3d = measure.main(["--data", bench_tree, "--out", out])
+    ans2d, ans3d = measure.main(
+        ["--data", bench_tree, "--out", out, "--allow-random-metrics"]
+    )
     for subset in ("front", "back", "360"):
         for metric in ("clip", "lpips", "psnr"):
             v = np.mean(ans2d[subset][metric])
