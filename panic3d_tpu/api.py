@@ -35,6 +35,7 @@ class Reconstructor:
         seed: int = 0,
         rmline=None,
         resnet=None,
+        mesh=None,
     ):
         import jax
 
@@ -46,6 +47,10 @@ class Reconstructor:
         self.seed = seed
         self.rmline = rmline
         self.resnet = resnet
+        # mesh: optional jax.sharding.Mesh with ('data','rays') axes —
+        # turntables shard views over 'data' (parallel/inference) and the
+        # 256³ mesh decode shards its point axis over 'rays'
+        self.device_mesh = mesh
         self._TG = TriPlaneGenerator
 
         if model is not None:
@@ -142,8 +147,26 @@ class Reconstructor:
 
     def turntable(self, cond: dict, n: int = 12, elevation: float = 0.0,
                   fov: float = 30.0) -> np.ndarray:
-        """n-view spin ([-1,1] RGB images [n,3,H,W])."""
+        """n-view spin ([-1,1] RGB images [n,3,H,W]).
+
+        With a mesh, the n views shard over the 'data' axis (one compiled
+        call renders all views, each chip taking its slice)."""
         azims = list(np.linspace(0.0, 360.0, n, endpoint=False))
+        if self.device_mesh is not None and n % self.device_mesh.shape["data"] == 0:
+            import jax.numpy as jnp
+
+            from .models.triplane import seeds_to_z
+            from .parallel.inference import render_views_sharded
+
+            self._ensure_init(cond)
+            return render_views_sharded(
+                self.g, self.variables, cond,
+                elevations=[elevation] * n, azimuths=azims, mesh=self.device_mesh,
+                fovs=[fov] * n,
+                z=jnp.asarray(seeds_to_z([self.seed], self.g.z_dim)),
+                triplane_crop=self.opts.get("triplane_crop"),
+                cull_clouds=self.opts.get("cull_clouds"),
+            )
         return self.views(cond, [elevation] * n, azims, [fov] * n).image
 
     # -- geometry ------------------------------------------------------------
@@ -156,4 +179,5 @@ class Reconstructor:
         self._ensure_init(cond)
         xin = {"cond": cond, "seeds": [self.seed], **self.opts}
         return extract_mesh(self.g, self.variables, xin,
-                            resolution=resolution, level=level, **kw)
+                            resolution=resolution, level=level,
+                            mesh=self.device_mesh, **kw)

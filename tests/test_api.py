@@ -32,3 +32,26 @@ def test_reconstructor_tiny_end_to_end():
 
     mesh = rec.mesh(cond, resolution=24)
     assert "verts" in mesh and "faces" in mesh and "colors" in mesh
+
+
+def test_reconstructor_multichip_mesh_and_turntable():
+    """Reconstructor(mesh=...) shards the turntable over 'data' and the
+    volume decode over 'rays'; outputs match the unsharded instance."""
+    from panic3d_tpu.api import Reconstructor
+    from panic3d_tpu.parallel import make_mesh
+
+    mesh = make_mesh(n_data=4, n_rays=2)
+    rec0 = Reconstructor(tiny=True, seed=0, opts={})
+    img = np.random.RandomState(0).rand(3, 64, 64).astype(np.float32)
+    cond = rec0.preprocess(img)
+    spin0 = rec0.turntable(cond, n=4)
+
+    rec = Reconstructor(tiny=True, seed=0, opts={}, mesh=mesh,
+                        model=rec0.g, variables=rec0.variables)
+    spin = rec.turntable(cond, n=4)
+    np.testing.assert_allclose(np.asarray(spin), np.asarray(spin0),
+                               rtol=2e-4, atol=2e-4)
+
+    m0 = rec0.mesh(cond, resolution=16)
+    m1 = rec.mesh(cond, resolution=16)
+    assert len(m1.verts) == len(m0.verts)
