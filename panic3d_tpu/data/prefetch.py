@@ -70,3 +70,6 @@ class Prefetcher:
                 self._q.get_nowait()
         except queue.Empty:
             pass
+        # join (bounded): a daemon thread killed mid-device_put at
+        # interpreter exit can take the runtime's C++ teardown down with it
+        self._thread.join(timeout=10)

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
+import threading
 import json
 import os
 import time
@@ -99,6 +100,8 @@ def parse_args(argv=None):
                     help="train on synthetic data (smoke test)")
     ap.add_argument("--tiny", action="store_true", help="tiny model (smoke test)")
     ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--tick-steps", type=int, default=None,
+                    help="override tick interval in STEPS (smoke tests)")
     ap.add_argument("--dry-run", action="store_true")
     return ap.parse_args(argv)
 
@@ -394,7 +397,7 @@ def main(argv=None):
     collector = Collector()
     logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl")) if leader else None
     total_steps = args.max_steps or (args.kimg * 1000 // args.batch)
-    tick_interval = max(args.tick * 1000 // args.batch, 1)
+    tick_interval = args.tick_steps or max(args.tick * 1000 // args.batch, 1)
     t_start = time.time()
 
     # input pipeline: batch assembly + device_put run in a worker thread so
@@ -427,6 +430,7 @@ def main(argv=None):
         return signs
 
     signs_hist = []
+    save_thread = None
     for step_i in range(int(state.cur_nimg) // args.batch, total_steps):
         active = phases_for_step(step_i, train_cfg)
         if active not in steps:
@@ -467,15 +471,30 @@ def main(argv=None):
                 snap = os.path.join(
                     run_dir, f"network-snapshot-{int(state.cur_nimg):06d}"
                 )
-                save_checkpoint(snap, jax.device_get(state), config=vars(args))
+                # async save: jax arrays are immutable, so a worker thread
+                # can device_get + serialize the captured state while the
+                # loop keeps stepping (the D2H transfer is seconds of
+                # otherwise-dead time); at most one save in flight
+                if save_thread is not None:
+                    save_thread.join()
+
+                def _save(snap=snap, state=state):
+                    save_checkpoint(
+                        snap, jax.device_get(state), config=vars(args)
+                    )
+                    print(f"saved {snap}")
+
+                save_thread = threading.Thread(target=_save, daemon=True)
+                save_thread.start()
                 _snapshot_images(g, state, batch, snap)
                 # snapshot-time metric eval (training_loop_v0.py:487-498)
                 if args.metrics != "none":
                     _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
-                print(f"saved {snap}")
 
     flush_pending()
     batch_queue.close()
+    if save_thread is not None:
+        save_thread.join()
     if leader:
         snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
         save_checkpoint(snap, jax.device_get(state), config=vars(args))
