@@ -115,3 +115,87 @@ def f_beta(logits, labels, beta: float = 2.0, thresh: float = 0.5):
     b2 = beta * beta
     denom = (1 + b2) * tp + b2 * fn + fp
     return jnp.mean(jnp.where(denom > 0, (1 + b2) * tp / denom, 0.0))
+
+
+# ---------------------------------------------------------------------------
+# rmline training loop (rmlineganA.py:209-233,294-298: dual Adam, the
+# Lightning alternating-optimizer step collapsed into one jitted step)
+
+def make_rmline_train_step(gen: RMLineGenerator, dis: RMLineDiscriminator,
+                           lr_gen: float = 1e-3, lr_dis: float = 1e-3,
+                           **loss_kwargs):
+    """-> (init_fn, step_fn). step(state, batch) runs the generator update
+    then the discriminator update (optimizer_idx 0 then 1) in one jit."""
+    g_loss, d_loss = rmline_losses(gen, dis, **loss_kwargs)
+    opt_g = optax.adam(lr_gen)
+    opt_d = optax.adam(lr_dis)
+
+    def init(vars_g, vars_d):
+        return {
+            "vars_g": vars_g,
+            "vars_d": vars_d,
+            "opt_g": opt_g.init(vars_g["params"]),
+            "opt_d": opt_d.init(vars_d["params"]),
+        }
+
+    @jax.jit
+    def step(state, batch):
+        batch = dict(batch)
+        batch.setdefault("target", batch["image"])
+        vars_g, vars_d = state["vars_g"], state["vars_d"]
+        rest_g = {k: v for k, v in vars_g.items() if k != "params"}
+        rest_d = {k: v for k, v in vars_d.items() if k != "params"}
+
+        (lg, (gupd, gstats)), grads_g = jax.value_and_grad(
+            g_loss, has_aux=True
+        )(vars_g["params"], rest_g, vars_d, batch)
+        updates_g, opt_g_state = opt_g.update(grads_g, state["opt_g"])
+        params_g = optax.apply_updates(vars_g["params"], updates_g)
+        vars_g = {"params": params_g, **rest_g}
+        if gupd:
+            vars_g.update(gupd)
+
+        (ld, (dupd, dstats)), grads_d = jax.value_and_grad(
+            d_loss, has_aux=True
+        )(vars_d["params"], rest_d, vars_g, batch, batch["real_label"])
+        updates_d, opt_d_state = opt_d.update(grads_d, state["opt_d"])
+        params_d = optax.apply_updates(vars_d["params"], updates_d)
+        vars_d = {"params": params_d, **rest_d}
+        if dupd:
+            vars_d.update(dupd)
+
+        new_state = {"vars_g": vars_g, "vars_d": vars_d,
+                     "opt_g": opt_g_state, "opt_d": opt_d_state}
+        return new_state, {"g_loss": lg, "d_loss": ld, **gstats, **dstats}
+
+    return init, step
+
+
+def train_rmline(batches, steps: int, gen=None, dis=None, seed: int = 0,
+                 log_every: int = 50, **kw):
+    """Drive the patch-GAN for `steps` batches; returns (vars_g, vars_d)."""
+    gen = gen or RMLineGenerator()
+    dis = dis or RMLineDiscriminator()
+    it = iter(batches)
+    first = next(it)
+    key = jax.random.PRNGKey(seed)
+    img = jnp.asarray(first["image"])
+    hull = jnp.asarray(first["face_hull"])
+    stackin = jnp.concatenate([img, hull], axis=1) if gen.use_hull else img
+    vars_g = gen.init(key, stackin, train=False)
+    vars_d = dis.init(key, stackin, train=False)
+    init, step = make_rmline_train_step(gen, dis, **kw)
+    state = init(vars_g, vars_d)
+
+    def to_dev(b):
+        return {k: jnp.asarray(v) for k, v in b.items() if k != "bn"}
+
+    batch = to_dev(first)
+    for i in range(steps):
+        state, stats = step(state, batch)
+        if i % log_every == 0:
+            print(f"rmline step {i}: " + " ".join(
+                f"{k}={float(v):.4f}" for k, v in stats.items()))
+        if i + 1 < steps:
+            batch = to_dev(next(it))
+    return state["vars_g"], state["vars_d"]

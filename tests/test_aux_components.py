@@ -214,3 +214,24 @@ def test_filtered_warp_matches_torch_ada_rotation():
     Ginv = _rot2(jnp.full((2,), theta, jnp.float32))
     got = np.asarray(execute_geometric_filtered(jnp.asarray(x), Ginv))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+
+def test_rmline_train_loop_steps():
+    """Dual-Adam patch-GAN training drives losses finite and moves params
+    (rmlineganA.py:209-233 role, collapsed into one jitted step)."""
+    from panic3d_tpu.training.aux_trainers import train_rmline
+
+    rng = np.random.RandomState(0)
+
+    def batches():
+        while True:
+            yield {
+                "image": rng.rand(4, 3, 25, 25).astype(np.float32),
+                "line_mask": (rng.rand(4, 1, 25, 25) > 0.8).astype(np.float32),
+                "face_hull": (rng.rand(4, 1, 25, 25) > 0.9).astype(np.float32),
+                "real_label": np.asarray([0, 1, 0, 1], np.float32),
+            }
+
+    vars_g, vars_d = train_rmline(batches(), steps=3, log_every=10)
+    flat = jax.tree_util.tree_leaves(vars_g["params"])
+    assert all(np.isfinite(np.asarray(x)).all() for x in flat)
