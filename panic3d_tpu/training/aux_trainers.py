@@ -199,3 +199,34 @@ def train_rmline(batches, steps: int, gen=None, dis=None, seed: int = 0,
         if i + 1 < steps:
             batch = to_dev(next(it))
     return state["vars_g"], state["vars_d"]
+
+
+# ---------------------------------------------------------------------------
+# tagger training loop (kate.py:8-142: Adam + multi-label BCE, F2 validation)
+
+def make_tagger_train_step(resnet, lr: float = 1e-3):
+    opt = optax.adam(lr)
+
+    def init(variables):
+        return {"vars": variables, "opt": opt.init(variables["params"])}
+
+    @jax.jit
+    def step(state, images, labels):
+        variables = state["vars"]
+        rest = {k: v for k, v in variables.items() if k != "params"}
+
+        def loss_fn(params):
+            loss, logits = tagger_loss(
+                resnet, {"params": params, **rest}, images, labels
+            )
+            return loss, logits
+
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        updates, opt_state = opt.update(grads, state["opt"])
+        params = optax.apply_updates(variables["params"], updates)
+        new_state = {"vars": {"params": params, **rest}, "opt": opt_state}
+        return new_state, {"loss": loss, "f2": f_beta(logits, labels)}
+
+    return init, step

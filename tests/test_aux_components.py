@@ -235,3 +235,21 @@ def test_rmline_train_loop_steps():
     vars_g, vars_d = train_rmline(batches(), steps=3, log_every=10)
     flat = jax.tree_util.tree_leaves(vars_g["params"])
     assert all(np.isfinite(np.asarray(x)).all() for x in flat)
+
+
+def test_tagger_train_step_improves_loss():
+    from panic3d_tpu.models.resnet import ResNet50
+    from panic3d_tpu.training.aux_trainers import make_tagger_train_step
+
+    rng = np.random.RandomState(0)
+    net = ResNet50(num_classes=8)
+    imgs = jnp.asarray(rng.rand(2, 3, 32, 32).astype(np.float32))
+    labels = jnp.asarray((rng.rand(2, 8) > 0.5).astype(np.float32))
+    variables = net.init(jax.random.PRNGKey(0), imgs)
+    init, step = make_tagger_train_step(net, lr=1e-2)
+    state = init(variables)
+    losses = []
+    for _ in range(4):
+        state, stats = step(state, imgs, labels)
+        losses.append(float(stats["loss"]))
+    assert np.isfinite(losses).all() and losses[-1] < losses[0]
