@@ -194,3 +194,32 @@ def test_prefetcher_close_unblocks_worker():
     pf = Prefetcher(itertools.count(), prepare=lambda x: x, depth=1)
     assert next(pf) == 0
     pf.close()  # must not hang
+
+
+def test_infinite_batcher_ranks_partition_epoch():
+    """Shared-seed strided sharding (misc.py:113-147 role): ranks draw
+    DISJOINT index sets that together cover each epoch exactly."""
+    from panic3d_tpu.data.dataset import InfiniteBatcher
+
+    class Spy:
+        def __init__(self, n):
+            self.n = n
+            self.seen = []
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            self.seen.append(i)
+            return {"x": np.float32(i)}
+
+    n = 12
+    spies = [Spy(n) for _ in range(3)]
+    for rank, spy in enumerate(spies):
+        it = iter(InfiniteBatcher(spy, batch_size=2, rank=rank, world=3, seed=5))
+        for _ in range(2):  # one epoch shard = 4 samples = 2 batches
+            next(it)
+    sets = [set(s.seen) for s in spies]
+    assert sets[0] | sets[1] | sets[2] == set(range(n))
+    assert not (sets[0] & sets[1]) and not (sets[0] & sets[2]) \
+        and not (sets[1] & sets[2])
