@@ -248,3 +248,48 @@ def test_trainer_flag_plumbing():
     assert args.batch_gpu == 2
     tcfg = TrainConfig(batch_size=4, batch_gpu=2)
     assert tcfg.n_micro == 2
+
+
+# ---------------------------------------------------------------------------
+# auto-resume discovery + snapshot-time metric eval (training_loop_v0.py
+# :487-498; train_eclustrousC.py:301-337)
+
+def test_find_resume_skips_unusable_snapshots(tmp_path):
+    from panic3d_tpu.training.trainer import find_resume
+
+    run = tmp_path / "run"
+    for name, usable in [
+        ("network-snapshot-000100", True),
+        ("network-snapshot-000200", True),
+        ("network-snapshot-000300", False),  # crash mid-save: empty state
+    ]:
+        d = run / name
+        d.mkdir(parents=True)
+        st = d / "state.msgpack"
+        st.write_bytes(b"x" * 16 if usable else b"")
+    assert find_resume(str(run)).endswith("network-snapshot-000200")
+    assert find_resume(str(tmp_path / "missing")) is None
+
+
+def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
+    """A tiny synthetic run with --metrics fid50k_full must evaluate FID at
+    the snapshot and write metric-fid50k_full.jsonl (random-init feature
+    net: the MECHANISM is under test, not the value)."""
+    import json
+    import os
+
+    from panic3d_tpu.training import trainer
+
+    out = str(tmp_path)
+    trainer.main([
+        "--name", "msmoke", "--tiny", "--synthetic", "--batch", "2",
+        "--gamma", "1", "--max-steps", "3", "--tick-steps", "1",
+        "--snap", "2", "--metrics", "fid50k_full", "--metric-items", "4",
+        "--outdir", out,
+    ])
+    run_dir = os.path.join(out, "msmoke")
+    jl = os.path.join(run_dir, "metric-fid50k_full.jsonl")
+    assert os.path.isfile(jl), os.listdir(run_dir)
+    rec = json.loads(open(jl).read().strip().splitlines()[-1])
+    assert "results" in rec and "fid50k_full" in rec["results"]
+    assert np.isfinite(rec["results"]["fid50k_full"])
