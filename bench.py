@@ -21,6 +21,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the flagship's first TPU compile is ~5-8 min
+# through the tunnel; cached loads are seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/panic3d_jax_cache_tpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     from panic3d_tpu import configs
