@@ -63,9 +63,7 @@ class Reconstructor:
             from .runtime.checkpoint import load_checkpoint
 
             self.variables, config = load_checkpoint(ckpt)
-            self.g = configs.flagship(
-                eval_mode=True, **(config or {}).get("model_kwargs", {})
-            )
+            self.g = configs.from_snapshot_config(config, eval_mode=True)
         self._key = jax.random.PRNGKey(seed)
 
     # -- conditioning --------------------------------------------------------

@@ -74,6 +74,37 @@ def flagship(eval_mode: bool = False, **overrides) -> TriPlaneGenerator:
     return TriPlaneGenerator(**kwargs)
 
 
+def from_snapshot_config(config, eval_mode: bool = False) -> TriPlaneGenerator:
+    """Rebuild the generator a trainer snapshot was trained with.
+
+    Prefers the explicit `model_kwargs` dict the trainer stores in the
+    snapshot config (the role of init_args/init_kwargs riding inside the
+    reference pickles, eg3dc_v0.py:41-52); falls back to mapping the flat
+    trainer args of pre-round-3 snapshots (cond_mode/triplane_width/... as
+    written by vars(args)). Without either, the default flagship."""
+    config = dict(config or {})
+    mk = dict(config.get("model_kwargs") or {})
+    family = mk.pop("family", "flagship")
+    if config.get("model_kwargs") is not None:
+        if family == "tiny":
+            mk.setdefault("force_sigmoid", eval_mode)
+            return tiny(**mk)
+        return flagship(eval_mode=eval_mode, **mk)
+    if config.get("tiny"):
+        return tiny(cond_mode="ortho_front.add_4.reschonk_add_16",
+                    force_sigmoid=eval_mode)
+    if "cond_mode" in config:
+        return flagship(
+            eval_mode=eval_mode,
+            cond_mode=config["cond_mode"],
+            triplane_width=config.get("triplane_width", 32),
+            backbone_resolution=config.get("backbone_resolution", 256),
+            img_resolution=config.get("resolution", 512),
+            rendering_kwargs=dict(triplane_depth=config.get("triplane_depth", 1)),
+        )
+    return flagship(eval_mode=eval_mode)
+
+
 def tiny(**overrides) -> TriPlaneGenerator:
     """Small config for tests and dry-runs (CPU-friendly)."""
     kwargs = dict(

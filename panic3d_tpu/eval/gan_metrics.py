@@ -247,6 +247,44 @@ def is50k(gen_probs: np.ndarray = None, num_splits: int = 10, **kwargs) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# equivariance (equivariance.py; registry entries metric_main.py:117-132)
+
+def _eq_metric(name, flag, synthesis_fn, ws_iter, num_samples, img_resolution,
+               key):
+    from .equivariance import compute_equivariance_metrics
+
+    psnr = compute_equivariance_metrics(
+        synthesis_fn, ws_iter, num_samples=num_samples,
+        img_resolution=img_resolution, key=key, **{flag: True},
+    )
+    return {name: float(psnr)}
+
+
+@register_metric
+def eqt50k_int(synthesis_fn=None, ws_iter=None, num_samples=50000,
+               img_resolution=None, key=None, **kwargs) -> dict:
+    """EQ-T integer-translation PSNR (metric_main.py:117-121 protocol)."""
+    return _eq_metric("eqt50k_int", "compute_eqt_int", synthesis_fn, ws_iter,
+                      num_samples, img_resolution, key)
+
+
+@register_metric
+def eqt50k_frac(synthesis_fn=None, ws_iter=None, num_samples=50000,
+                img_resolution=None, key=None, **kwargs) -> dict:
+    """EQ-T_frac subpixel-translation PSNR (metric_main.py:123-126)."""
+    return _eq_metric("eqt50k_frac", "compute_eqt_frac", synthesis_fn, ws_iter,
+                      num_samples, img_resolution, key)
+
+
+@register_metric
+def eqr50k(synthesis_fn=None, ws_iter=None, num_samples=50000,
+           img_resolution=None, key=None, **kwargs) -> dict:
+    """EQ-R rotation PSNR (metric_main.py:128-132)."""
+    return _eq_metric("eqr50k", "compute_eqr", synthesis_fn, ws_iter,
+                      num_samples, img_resolution, key)
+
+
+# ---------------------------------------------------------------------------
 # perceptual path length (perceptual_path_length.py)
 
 def ppl_from_distances(dist: np.ndarray) -> float:

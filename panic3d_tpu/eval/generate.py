@@ -127,8 +127,7 @@ def main(argv=None):
     else:
         assert args.ckpt, "--ckpt required unless --tiny"
         variables, config = load_checkpoint(args.ckpt)
-        g = configs.flagship(eval_mode=True,
-                             **(config or {}).get("model_kwargs", {}))
+        g = configs.from_snapshot_config(config, eval_mode=True)
 
     dk = DatabackendMinna(args.data)
     subset_csv = os.path.join(

@@ -50,6 +50,69 @@ def quickspin(G, variables, xin_base: dict, n: int = 30, batch: int = 12,
     return frames
 
 
+def lerpspin(G, variables, xin_base: dict, zs, n: int = 60, batch: int = 12,
+             wraps: int = 2, kind: str = "cubic", truncation_psi: float = 1.0,
+             image_key: str = "image", **f_kwargs) -> List[np.ndarray]:
+    """Latent-interpolation turntable (`src/gen_videos.py` gen_interp_video
+    role): smooth cyclic interpolation through the seeds' ws keyframes
+    (scipy cubic over a wraps-tiled keyframe track, gen_videos.py:103-111)
+    while the camera spins a full turn. The reference renders one frame per
+    G call; here every frame batch is one jitted ws-input G.f call.
+
+    zs: [K, z_dim] seed latents -> n frames [3,H,W] in [0,1]."""
+    import scipy.interpolate
+    import jax.numpy as jnp
+
+    from ..cameras.conventions import camera_label
+    from ..models.triplane import TriPlaneGenerator
+
+    zs = jnp.asarray(zs)
+    K = zs.shape[0]
+    cond = xin_base.get("cond")
+    zeros = jnp.zeros((K,))
+    c_front = camera_label(zeros, zeros, jnp.ones((K,)), 30 * jnp.ones((K,)))
+    cond_k = None
+    if cond is not None:
+        cond_k = {k: jnp.broadcast_to(v, (K,) + v.shape[1:])
+                  for k, v in cond.items()}
+    ws_k = np.asarray(
+        G.apply(variables, zs, c_front, cond_k,
+                truncation_psi=truncation_psi,
+                method=TriPlaneGenerator.mapping)
+    )  # [K, num_ws, w_dim]
+
+    # cyclic keyframe track: tile wraps*2+1 copies so the cubic spline wraps
+    # smoothly (the reference's wraps mechanism)
+    x = np.arange(-K * wraps, K * (wraps + 1))
+    y = np.tile(ws_k, [wraps * 2 + 1, 1, 1])
+    interp = scipy.interpolate.interp1d(x, y, kind=kind, axis=0)
+    ts = np.linspace(0, K, n, endpoint=False)
+    ws_frames = interp(ts).astype(np.float32)  # [n, num_ws, w_dim]
+    azims = np.linspace(0, 360, n + 1)[:-1]
+
+    frames = []
+    for i in range(0, n, batch):
+        b = len(azims[i : i + batch])
+        xin = {
+            k: v for k, v in xin_base.items()
+            if k not in ("elevations", "azimuths", "fovs", "camera_params",
+                         "conditioning_params", "force_rays", "z", "zs")
+        }
+        xin["ws"] = jnp.asarray(ws_frames[i : i + b])
+        xin["elevations"] = jnp.zeros(b)
+        xin["azimuths"] = jnp.asarray(azims[i : i + b], dtype=jnp.float32)
+        if cond is not None:
+            xin["cond"] = {
+                k: jnp.broadcast_to(v, (b,) + v.shape[1:])
+                for k, v in cond.items()
+            }
+        out = G.apply(variables, xin, method=TriPlaneGenerator.f,
+                      noise_mode="const", **f_kwargs)
+        img = np.asarray(out[image_key])
+        frames.extend(np.clip(img[j], 0, 1) for j in range(b))
+    return frames
+
+
 def save_animation(frames: List[np.ndarray], path: str, fps: int = 15):
     """Save [3,H,W]-float frames as gif or webp via PIL."""
     from PIL import Image

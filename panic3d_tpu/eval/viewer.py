@@ -41,7 +41,7 @@ def main(argv=None):
     from ..models.triplane import TriPlaneGenerator, seeds_to_z
     from ..runtime.checkpoint import load_checkpoint
     from .export import save_ply
-    from .video import quickspin, save_animation
+    from .video import lerpspin, quickspin, save_animation
     from .volume import get_volume, marching_cubes
 
     ap = argparse.ArgumentParser()
@@ -108,13 +108,18 @@ def main(argv=None):
     frames = quickspin(g, variables, dict(base, z=zs[:1]), n=args.spin)
     save_animation(frames, os.path.join(args.out, "spin.gif"))
 
+    # latent-lerp turntable (gen_videos.py role): interpolate through the
+    # seeds' ws while spinning
+    frames = lerpspin(g, variables, base, zs, n=args.spin)
+    save_animation(frames, os.path.join(args.out, "lerp.gif"))
+
     # mesh
     vol = get_volume(g, variables, dict(base, z=zs[:1]),
                      resolution=args.mesh_res)
     mc = marching_cubes(vol.densities[0, 0], vol.rgbs[0, :3],
                         g.rk["box_warp"], level=0.5)
     save_ply(os.path.join(args.out, "mesh.ply"), mc.verts, mc.faces, mc.colors)
-    print(f"wrote latents.png, channels.png, spin.gif, mesh.ply to {args.out}")
+    print(f"wrote latents.png, channels.png, spin.gif, lerp.gif, mesh.ply to {args.out}")
 
 
 if __name__ == "__main__":

@@ -33,11 +33,19 @@ def save_checkpoint(path: str, variables, config: Optional[dict] = None):
     import flax.serialization
 
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "state.msgpack"), "wb") as f:
+    # tmp + os.replace: a crash mid-write (saves run on a background thread)
+    # must never leave a truncated-but-nonempty state.msgpack that
+    # find_resume would accept.
+    final = os.path.join(path, "state.msgpack")
+    tmp = final + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(flax.serialization.to_bytes(variables))
+    os.replace(tmp, final)
     if config is not None:
-        with open(os.path.join(path, "config.json"), "w") as f:
+        cfg_final = os.path.join(path, "config.json")
+        with open(cfg_final + ".tmp", "w") as f:
             json.dump(config, f, indent=1, default=str)
+        os.replace(cfg_final + ".tmp", cfg_final)
 
 
 def load_checkpoint(path: str, target=None):
@@ -95,9 +103,19 @@ def load_reference_pickle(path: str) -> dict:
 
 def _walk_torch_module_state(stub, prefix="", out=None):
     """Flatten a _PersistentStub tree (mirrors nn.Module state layout:
-    _parameters/_buffers/_modules) into {dotted_name: np.ndarray}."""
+    _parameters/_buffers/_modules) into {dotted_name: np.ndarray}.
+
+    Nodes can be stubs (persistent classes), plain dicts, or real torch
+    nn.Module instances — the reference only decorates top-level network
+    classes, so undecorated submodules (e.g. ImportanceRenderer) unpickle
+    as live torch modules whose state lives in __dict__."""
     out = {} if out is None else out
-    state = stub.state if isinstance(stub, _PersistentStub) else stub
+    if isinstance(stub, _PersistentStub):
+        state = stub.state
+    elif isinstance(stub, dict):
+        state = stub
+    else:
+        state = getattr(stub, "__dict__", {})
     params = state.get("_parameters", {}) or {}
     buffers = state.get("_buffers", {}) or {}
     modules = state.get("_modules", {}) or {}
@@ -114,19 +132,60 @@ def _walk_torch_module_state(stub, prefix="", out=None):
 
 
 def extract_reference_generator(path: str, key: str = "G_ema"):
-    """-> (state_dict {torch_name: array}, init_args, init_kwargs, extras)."""
+    """-> (state_dict {torch_name: array}, init_args, init_kwargs, extras).
+
+    The real persistence Decorator stores the ctor arguments as
+    `_init_args`/`_init_kwargs` instance attributes (persistence.py:141-143;
+    `init_args` is only a property over them), and meta['state'] is the
+    module's __getstate__ dict, so the underscore names are what actually
+    appear in a reference snapshot."""
     data = load_reference_pickle(path)
     stub = data[key]
     st = stub.state if isinstance(stub, _PersistentStub) else stub.__dict__
     state_dict = _walk_torch_module_state(stub)
-    init_args = st.get("init_args", ())
-    init_kwargs = dict(st.get("init_kwargs", {}))
+    init_args = tuple(st.get("_init_args", st.get("init_args", ())))
+    init_kwargs = dict(st.get("_init_kwargs", st.get("init_kwargs", {})))
     extras = {
         k: st[k]
         for k in ("neural_rendering_resolution", "rendering_kwargs")
         if k in st
     }
     return state_dict, init_args, init_kwargs, extras
+
+
+# reference TriPlaneGenerator named ctor params (triplane.py:30-46); anything
+# else in init_kwargs fell into **synthesis_kwargs there and does here too.
+_GEN_NAMED_KWARGS = (
+    "z_dim", "c_dim", "w_dim", "img_resolution", "img_channels",
+    "sr_num_fp16_res", "mapping_kwargs", "rendering_kwargs", "cond_mode",
+    "triplane_width", "sr_channels_hidden", "backbone_resolution",
+)
+
+
+def generator_config_from_init_kwargs(init_kwargs: dict,
+                                      extras: Optional[dict] = None) -> dict:
+    """Reference init_kwargs -> our flax TriPlaneGenerator ctor kwargs.
+
+    Mirrors the reference's own rebuild
+    `TriPlaneGenerator(*G.init_args, **G.init_kwargs)` + the attribute
+    carry-over of neural_rendering_resolution/rendering_kwargs
+    (eg3dc_v0.py:46-52). init_args are always empty in reference snapshots
+    (the trainer constructs by keyword, training_loop_v0.py:160-166)."""
+    kw = dict(init_kwargs)
+    out: Dict[str, Any] = {}
+    for k in _GEN_NAMED_KWARGS:
+        if k in kw:
+            v = kw.pop(k)
+            out[k] = dict(v) if isinstance(v, dict) else v
+    sr_kwargs = kw.pop("sr_kwargs", {})
+    assert not sr_kwargs, f"unsupported sr_kwargs in snapshot: {sr_kwargs}"
+    if kw:
+        out["synthesis_kwargs"] = kw
+    for k in ("neural_rendering_resolution", "rendering_kwargs"):
+        if extras and k in extras:
+            v = extras[k]
+            out[k] = dict(v) if isinstance(v, dict) else v
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -58,6 +58,46 @@ def convert_resnet50(state_dict: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": stats}
 
 
+def convert_inception_v3(state_dict: Dict[str, np.ndarray], eps: float = 1e-3):
+    """torchvision / pytorch-fid `inception_v3` state_dict ->
+    eval.inception.InceptionV3 variables, with every BatchNorm FOLDED into
+    its conv (the flax net is inference-only: one conv+bias per layer).
+
+    Source names: `<block>.conv.weight` + `<block>.bn.{weight,bias,
+    running_mean,running_var}` for every BasicConv2d (block e.g.
+    "Conv2d_1a_3x3" or "Mixed_5b.branch1x1"), plus `fc.{weight,bias}`
+    ([1008, 2048] in the FID checkpoint, [1000, 2048] in torchvision's —
+    both accepted). Folding runs in float64: w' = w * g/sqrt(v+eps),
+    b' = beta - mean * g/sqrt(v+eps); eps=0.001 is torchvision's
+    BatchNorm2d(eps=0.001) in BasicConv2d. AuxLogits.* entries (absent from
+    the FID checkpoint, present in torchvision's) are ignored."""
+    sd = {k: _np(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    def put(path, val):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = val
+
+    for k in sorted(sd):
+        if not k.endswith(".conv.weight") or k.startswith("AuxLogits."):
+            continue
+        base = k[: -len(".conv.weight")]
+        w = sd[k].astype(np.float64)
+        g = sd[base + ".bn.weight"].astype(np.float64)
+        beta = sd[base + ".bn.bias"].astype(np.float64)
+        mean = sd[base + ".bn.running_mean"].astype(np.float64)
+        var = sd[base + ".bn.running_var"].astype(np.float64)
+        s = g / np.sqrt(var + eps)
+        path = tuple(base.split("."))
+        put(path + ("w",), (w * s[:, None, None, None]).astype(np.float32))
+        put(path + ("b",), (beta - mean * s).astype(np.float32))
+    params["fc_w"] = sd["fc.weight"]
+    params["fc_b"] = sd["fc.bias"]
+    return {"params": params}
+
+
 def convert_lpips_alex(state_dict: Dict[str, np.ndarray]):
     """lpips.LPIPS(net='alex') state_dict -> eval.lpips.LPIPS variables.
 

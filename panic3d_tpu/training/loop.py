@@ -44,6 +44,12 @@ class GANTrainState:
     aug_p: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.zeros((), jnp.float32)
     )
+    # path-length running mean (upstream StyleGAN2 pl_mean buffer; the
+    # reference keeps the knob, loss.py:48): jit'd losses are pure, so the
+    # EMA lives in the train state.
+    pl_mean: jnp.ndarray = flax.struct.field(
+        default_factory=lambda: jnp.zeros((), jnp.float32)
+    )
 
 
 @dataclasses.dataclass(frozen=True)
@@ -52,6 +58,13 @@ class TrainConfig:
     # micro-batch size for gradient accumulation (batch_gpu,
     # training_loop_v0.py:336-347); None = whole batch in one pass.
     batch_gpu: Optional[int] = None
+    # Reference-compat accumulation: the reference SUMS each round's
+    # mean-loss gradient and never divides by the number of rounds
+    # (training_loop_v0.py:350-371 divides only by num_gpus), so its
+    # effective step size scales with batch_size/batch_gpu. Default False =
+    # average (update equals the full-batch update); True reproduces the
+    # reference semantics so its LR/batch_gpu recipes transfer verbatim.
+    accum_sum: bool = False
     g_lr: float = 0.0025
     d_lr: float = 0.002
     betas: Tuple[float, float] = (0.0, 0.99)
@@ -144,9 +157,10 @@ def build_train_step(
             else:
                 total_g = jax.tree_util.tree_map(jnp.add, total_g, g)
                 total_s = {k: total_s[k] + s[k] for k in total_s}
-        grads = jax.tree_util.tree_map(lambda x: x / n_micro, total_g)
+        if not train_cfg.accum_sum:
+            total_g = jax.tree_util.tree_map(lambda x: x / n_micro, total_g)
         stats = {k: v / n_micro for k, v in total_s.items()}
-        return _nan_to_num_tree(grads), stats
+        return _nan_to_num_tree(total_g), stats
 
     def g_phase_update(state, phase_fn, key, batch, gen_z, gen_c):
         grads, stats = accumulate(
@@ -206,6 +220,28 @@ def build_train_step(
                         cur_nimg, gain=float(train_cfg.g_reg_interval),
                     )
                 state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
+            elif phase == "Gpl":
+                # no micro-accumulation: the phase already shrinks the batch
+                # by pl_batch_shrink, and the pl_mean EMA must advance once
+                def fn(p, mb, z, c, k):
+                    return loss.g_pl_loss(
+                        dict(state.vars_G, params=p), mb, z, c, k,
+                        cur_nimg, state.pl_mean,
+                        gain=float(train_cfg.g_reg_interval),
+                    )
+                grad_fn = jax.value_and_grad(fn, has_aux=True)
+                (_, s), grads = grad_fn(
+                    state.vars_G["params"], batch, gen_z, gen_c, pk
+                )
+                updates, new_opt = opt_G.update(
+                    _nan_to_num_tree(grads), state.opt_G,
+                    state.vars_G["params"],
+                )
+                params = optax.apply_updates(state.vars_G["params"], updates)
+                state = state.replace(
+                    vars_G=dict(state.vars_G, params=params), opt_G=new_opt,
+                    pl_mean=s.pop("pl_mean_new"),
+                )
             elif phase == "Dmain":
                 def fn(p, mb, z, c, k):
                     return loss.d_main_loss(
@@ -264,7 +300,7 @@ def phases_for_step(step: int, cfg: TrainConfig) -> Tuple[str, ...]:
     """Which phases run at this step (interval gating)."""
     out = []
     for ph in cfg.phases:
-        if ph == "Greg":
+        if ph in ("Greg", "Gpl"):
             if step % cfg.g_reg_interval == 0:
                 out.append(ph)
         elif ph == "Dreg":

@@ -77,6 +77,14 @@ class LossConfig:
     reg_type: str = "l1"
     box_warp: float = 0.7
 
+    # Path-length regularization. The reference loss keeps these as options
+    # (loss.py:44-48, loss_orthocondA.py:88-92) but its EG3D adaptation
+    # deleted the Gpl phase itself; semantics here are the upstream
+    # StyleGAN2 Gpl those hyperparameters descend from.
+    pl_weight: float = 0.0
+    pl_batch_shrink: int = 2
+    pl_decay: float = 0.01
+
     @property
     def paste_params(self):
         default_pp = dict(
@@ -463,6 +471,62 @@ class OrthoCondLoss:
             stats["Loss/G/loss_recon"] = loss_grecon
 
         return jnp.mean(loss_gmain) * gain + jnp.mean(loss_grecon), stats
+
+    # -- Gpl: path-length regularization --------------------------------------
+
+    def g_pl_loss(self, params_G, batch, z, c, key, cur_nimg, pl_mean,
+                  gain=1.0):
+        """Upstream StyleGAN2 Gpl, gated by pl_weight (the reference stores
+        the pl_* knobs, loss.py:44-48, but dropped the phase; restored here
+        as a reference option).
+
+        Jacobian-vector trick: E||d(img·noise)/dws||² with unit-variance
+        noise estimates the path length; penalty is the squared deviation
+        from its running mean (pl_decay EMA, carried in the train state
+        because jit'd losses are pure). Batch shrunk by pl_batch_shrink.
+        Returns (loss, stats) with the new EMA under 'pl_mean_new'."""
+        cfg = self.cfg
+        bs = max(z.shape[0] // cfg.pl_batch_shrink, 1)
+        z = z[:bs]
+        c = c[:bs]
+        cond = jax.tree_util.tree_map(lambda x: x[:bs], batch["cond"])
+        k_swap, k_noise, k_f = jax.random.split(key, 3)
+        swapping_prob = cfg.swapping_prob(cur_nimg)
+        res = cfg.neural_rendering_resolution(cur_nimg)
+        if swapping_prob is not None:
+            c_swapped = jnp.roll(c, 1, axis=0)
+            take = jax.random.uniform(k_swap, (c.shape[0], 1)) < swapping_prob
+            c_gen = jnp.where(take, c_swapped, c)
+        else:
+            c_gen = jnp.zeros_like(c)
+        ws = self.G_mapping(params_G, z, c_gen, cond)
+
+        def render(ws_in):
+            xin = {
+                "ws": ws_in,
+                "cond": cond,
+                "camera_params": c,
+                "normalize_images": True,
+                "neural_rendering_resolution": res,
+            }
+            return self.G_f(params_G, xin, k_f)["image"]
+
+        img = render(ws)
+        pl_noise = jax.random.normal(k_noise, img.shape) / np.sqrt(
+            img.shape[2] * img.shape[3]
+        )
+        # d(sum(img*noise))/dws, then L2 over w_dim, mean over layers
+        pl_grads = jax.grad(lambda w: jnp.sum(render(w) * pl_noise))(ws)
+        pl_lengths = jnp.sqrt(jnp.mean(jnp.sum(pl_grads**2, axis=2), axis=1))
+        new_pl_mean = pl_mean + cfg.pl_decay * (jnp.mean(pl_lengths) - pl_mean)
+        pl_penalty = (pl_lengths - new_pl_mean) ** 2
+        loss = jnp.mean(pl_penalty) * cfg.pl_weight * gain
+        stats = {
+            "Loss/pl_penalty": jnp.mean(pl_penalty),
+            "Loss/G/pl": loss,
+            "pl_mean_new": new_pl_mean,
+        }
+        return loss, stats
 
     # -- Greg: density regularization -----------------------------------------
 

@@ -38,6 +38,37 @@ def make_clip_feature_fn(clip_variables=None):
     return feature_fn
 
 
+def make_inception_feature_fn(inception_variables=None, probs: bool = False):
+    """The reference's FID/KID/PR/IS detector (`inception-2015-12-05.pkl`,
+    metric_utils.py:209-263): InceptionV3 pool features [N,2048], or the
+    1008-way softmax (probs=True, no_output_bias — inception_score.py:23).
+
+    With converted weights (runtime.convert.convert_inception_v3) the
+    values are paper-comparable; random-init otherwise (architecture-exact,
+    relative values only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..eval.inception import InceptionV3, init_inception
+
+    if inception_variables is None:
+        net, inception_variables = init_inception()
+    else:
+        net = InceptionV3()
+
+    @jax.jit
+    def run(images01):
+        x = InceptionV3.preprocess(images01, in_range=(0.0, 1.0))
+        return net.apply(inception_variables, x, return_features=not probs,
+                         no_output_bias=probs)
+
+    def feature_fn(images01):
+        """[N,3,H,W] in [0,1] -> [N,2048] features (or [N,1008] probs)."""
+        return np.asarray(run(jnp.asarray(images01)))
+
+    return feature_fn
+
+
 def generate_fakes(G, vars_Gema, batch_iter: Iterator, n_items: int, key=None):
     """Yield [-1,1]->[0,1] G_ema images batch by batch (metric_utils role)."""
     import jax
@@ -99,11 +130,16 @@ def compute_ppl(
 
     @jax.jit
     def pair_dist(variables, z0, z1, c, cond, key):
-        def render(ws, k):
+        del key
+        def render(ws):
+            # noise_mode='const' for BOTH endpoints, as the reference
+            # PPLSampler does (perceptual_path_length.py:71): any noise
+            # difference between the two renders is independent of epsilon
+            # and would dominate after the /eps^2 division.
             xin = {"ws": ws, "camera_params": c, "cond": cond,
                    "normalize_images": True}
             out = G.apply(variables, xin, method=TriPlaneGenerator.f,
-                          noise_mode="random", rngs={"noise": k})
+                          noise_mode="const")
             return pool256(out["image"])
 
         w0 = G.apply(variables, z0, c, cond, method=TriPlaneGenerator.mapping)
@@ -111,9 +147,8 @@ def compute_ppl(
         # endpoint sampling: t = 0
         wt0 = w0
         wt1 = w0 + (w1 - w0) * epsilon
-        k0, k1 = jax.random.split(key)
-        img0 = render(wt0, k0)
-        img1 = render(wt1, k1)
+        img0 = render(wt0)
+        img1 = render(wt1)
         return lpips_fn(img0, img1) / epsilon**2
 
     dists = []
@@ -142,8 +177,12 @@ def evaluate_fid(
     snapshot_name: Optional[str] = None,
     cache_dir: Optional[str] = None,
     dataset_key=None,
+    metric_name: str = "fid50k_full",
 ):
-    """fid50k_full protocol: dataset stats (cached) vs n_items generated."""
+    """fid50k_full protocol: dataset stats (cached) vs n_items generated.
+
+    metric_name labels the report: 'fid50k_full' rides the Inception
+    detector (paper protocol); 'fid_clip' marks the CLIP-feature variant."""
 
     def compute_real():
         st = FeatureStats(max_items=n_items)
@@ -171,8 +210,8 @@ def evaluate_fid(
     from ..eval.gan_metrics import frechet_distance
 
     result = {
-        "results": {"fid50k_full": frechet_distance(rs[0], rs[1], gs[0], gs[1])},
-        "metric": "fid50k_full",
+        "results": {metric_name: frechet_distance(rs[0], rs[1], gs[0], gs[1])},
+        "metric": metric_name,
         "total_time": 0.0,
     }
     report_metric(result, run_dir=run_dir, snapshot_pkl=snapshot_name)

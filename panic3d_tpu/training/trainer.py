@@ -67,6 +67,11 @@ def parse_args(argv=None):
     ap.add_argument("--paste-params-mode", default="none")
     ap.add_argument("--density-reg", type=float, default=0.25)
     ap.add_argument("--reg-type", default="l1")
+    # path-length regularization (the pl_* options the reference loss keeps,
+    # loss.py:44-48; Gpl rides the Greg lazy-reg interval)
+    ap.add_argument("--pl-weight", type=float, default=0.0)
+    ap.add_argument("--pl-batch-shrink", type=int, default=2)
+    ap.add_argument("--pl-decay", type=float, default=0.01)
     ap.add_argument("--blur-init-sigma", type=float, default=0.0)
     ap.add_argument("--blur-fade-kimg", type=float, default=200.0)
     ap.add_argument("--gen-pose-cond", action="store_true")
@@ -80,12 +85,24 @@ def parse_args(argv=None):
     ap.add_argument("--aug-p", type=float, default=0.0, help="fixed-mode p")
     # gradient accumulation (batch_gpu, train_eclustrousC.py:216)
     ap.add_argument("--batch-gpu", type=int, default=None)
+    # mesh shape: devices = n_data x mesh_rays; rays>1 shards the volume
+    # render's ray axis across the mesh (SURVEY.md §5 sequence-parallel analog)
+    ap.add_argument("--mesh-rays", type=int, default=1,
+                    help="size of the 'rays' mesh axis (1 = pure DP)")
+    # reference-compat: sum micro-batch grads instead of averaging them
+    # (training_loop_v0.py:350-371 never divides by the accumulation rounds)
+    ap.add_argument("--accum-sum", action="store_true",
+                    help="reference grad-accumulation semantics: sum "
+                         "micro-batch grads (effective step size x n_micro)")
     # snapshot-time metric eval (training_loop_v0.py:487-498)
     ap.add_argument("--metrics", default="none",
                     help="comma list, e.g. fid50k_full; 'none' disables")
     ap.add_argument("--metric-items", type=int, default=50000)
     ap.add_argument("--clip-weights", default=None,
-                    help="converted CLIP weights for the FID feature net")
+                    help="converted CLIP weights (fid_clip feature net)")
+    ap.add_argument("--inception-weights", default=None,
+                    help="converted InceptionV3 weights for fid50k_full "
+                         "(runtime.convert.convert_inception_v3 output)")
     ap.add_argument("--resume-blur", action="store_true",
                     help="keep blur/gpc rampups active after resume")
     ap.add_argument("--allow-random-lpips", action="store_true",
@@ -135,43 +152,63 @@ def build_models(args):
     from ..models.dual_discriminator import DualDiscriminator
 
     if args.tiny:
-        g = configs.tiny(cond_mode="ortho_front.add_4.reschonk_add_16")
+        model_kwargs = dict(family="tiny",
+                            cond_mode="ortho_front.add_4.reschonk_add_16")
+        g = configs.tiny(cond_mode=model_kwargs["cond_mode"])
         d = DualDiscriminator(c_dim=25, img_resolution=g.img_resolution,
                               channel_base=1024, channel_max=32,
                               epilogue_kwargs=dict(mbstd_group_size=2))
         chonk_ch, feat_dim = 16, 32
     else:
-        g = configs.flagship(
+        model_kwargs = dict(
+            family="flagship",
             cond_mode=args.cond_mode,
             triplane_width=args.triplane_width,
             backbone_resolution=args.backbone_resolution,
             img_resolution=args.resolution,
             rendering_kwargs=dict(triplane_depth=args.triplane_depth),
         )
+        g = configs.flagship(**{k: v for k, v in model_kwargs.items()
+                                if k != "family"})
         d = DualDiscriminator(c_dim=25, img_resolution=args.resolution)
         chonk_ch, feat_dim = 512, 512
-    return g, d, chonk_ch, feat_dim
+    return g, d, chonk_ch, feat_dim, model_kwargs
 
 
 def _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap):
     """Snapshot-time metric eval (training_loop_v0.py:487-498 role)."""
     try:
-        from .metric_eval import evaluate_fid, make_clip_feature_fn
+        from .metric_eval import (evaluate_fid, make_clip_feature_fn,
+                                  make_inception_feature_fn)
 
-        if "fid50k_full" in args.metrics.split(","):
-            clip_vars = None
-            if args.clip_weights:
-                from ..runtime.checkpoint import load_checkpoint as _lc
-                clip_vars, _ = _lc(args.clip_weights)
-            feature_fn = make_clip_feature_fn(clip_vars)
+        requested = args.metrics.split(",")
+        # fid50k_full rides the reference's Inception detector (paper
+        # protocol); fid_clip is the CLIP-feature variant kept from round 1.
+        for name in ("fid50k_full", "fid_clip"):
+            if name not in requested:
+                continue
+            if name == "fid50k_full":
+                inc_vars = None
+                if args.inception_weights:
+                    from ..runtime.checkpoint import load_checkpoint as _lc
+                    inc_vars, _ = _lc(args.inception_weights)
+                feature_fn = make_inception_feature_fn(inc_vars)
+            else:
+                clip_vars = None
+                if args.clip_weights:
+                    from ..runtime.checkpoint import load_checkpoint as _lc
+                    clip_vars, _ = _lc(args.clip_weights)
+                feature_fn = make_clip_feature_fn(clip_vars)
             r = evaluate_fid(
                 g, state.vars_Gema, make_batch_iter, feature_fn,
                 n_items=args.metric_items, run_dir=run_dir,
                 snapshot_name=os.path.basename(snap),
                 cache_dir=os.path.join(args.outdir, ".metric_cache"),
-                dataset_key=(args.data, args.data_subset, args.synthetic),
+                dataset_key=(args.data, args.data_subset, args.synthetic,
+                             name),
+                metric_name=name,
             )
-            print(f"fid50k_full = {r['results']['fid50k_full']:.3f}")
+            print(f"{name} = {r['results'][name]:.3f}")
     except Exception as e:  # metric eval must never kill training
         print(f"snapshot metric eval failed: {e}")
 
@@ -247,8 +284,11 @@ def main(argv=None):
             blur_init_sigma = 0.0
             gpc_reg_fade_kimg = 0.0
 
-    # models
-    g, d, chonk_ch, feat_dim = build_models(args)
+    # models; model_kwargs rides inside every snapshot config so loaders can
+    # rebuild the exact architecture (the init_kwargs-in-pickle role,
+    # eg3dc_v0.py:41-52)
+    g, d, chonk_ch, feat_dim, model_kwargs = build_models(args)
+    snap_config = dict(vars(args), model_kwargs=model_kwargs)
 
     loss_cfg = LossConfig(
         r1_gamma=args.gamma,
@@ -281,6 +321,9 @@ def main(argv=None):
         lambda_recon_depth_l2=args.lambda_recon_depth_l2,
         paste_params_mode=None if args.paste_params_mode == "none" else args.paste_params_mode,
         density_reg=args.density_reg,
+        pl_weight=args.pl_weight,
+        pl_batch_shrink=args.pl_batch_shrink,
+        pl_decay=args.pl_decay,
         reg_type=args.reg_type,
         box_warp=g.rk["box_warp"],
     )
@@ -298,6 +341,8 @@ def main(argv=None):
         phases.append("Grand")
     if args.density_reg > 0:
         phases.append("Greg")
+    if args.pl_weight > 0:
+        phases.append("Gpl")
     phases += ["Dmain"]
     if args.gamma > 0:
         phases.append("Dreg")
@@ -305,6 +350,7 @@ def main(argv=None):
     train_cfg = TrainConfig(
         batch_size=args.batch,
         batch_gpu=args.batch_gpu,
+        accum_sum=args.accum_sum,
         g_lr=args.glr,
         d_lr=args.dlr,
         ema_kimg=args.batch * 10 / 32,
@@ -381,14 +427,21 @@ def main(argv=None):
     from ..eval.lpips import load_lpips_params
     lpips_vars = (load_lpips_params(args.lpips_weights) if args.lpips_weights
                   else init_lpips())
-    loss = make_loss(g, d, lpips_vars, loss_cfg, augment=args.aug != "noaug")
 
     import jax as _jax
 
-    n_data = min(len(_jax.devices()), args.batch)
+    n_devices = len(_jax.devices())
+    assert n_devices % args.mesh_rays == 0, (n_devices, args.mesh_rays)
+    n_data = min(n_devices // args.mesh_rays, args.batch)
     while args.batch % n_data:
         n_data -= 1
-    mesh = make_mesh(n_data=n_data, n_rays=1)
+    mesh = make_mesh(n_data=n_data, n_rays=args.mesh_rays)
+    ray_shard = None
+    if args.mesh_rays > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        ray_shard = NamedSharding(mesh, P("data", "rays"))
+    loss = make_loss(g, d, lpips_vars, loss_cfg, augment=args.aug != "noaug",
+                     ray_sharding=ray_shard)
     steps = {}  # phase-tuple -> compiled step
 
     from ..parallel.mesh import batch_sharding
@@ -474,19 +527,27 @@ def main(argv=None):
                 # async save: jax arrays are immutable, so a worker thread
                 # can device_get + serialize the captured state while the
                 # loop keeps stepping (the D2H transfer is seconds of
-                # otherwise-dead time); at most one save in flight
+                # otherwise-dead time); at most one save in flight. The dir
+                # is created HERE, synchronously — _snapshot_images below
+                # must not race the thread for it.
                 if save_thread is not None:
                     save_thread.join()
+                os.makedirs(snap, exist_ok=True)
 
                 def _save(snap=snap, state=state):
                     save_checkpoint(
-                        snap, jax.device_get(state), config=vars(args)
+                        snap, jax.device_get(state), config=snap_config
                     )
                     print(f"saved {snap}")
 
                 save_thread = threading.Thread(target=_save, daemon=True)
                 save_thread.start()
-                _snapshot_images(g, state, batch, snap)
+                # grid from the host-local init batch (`first`), NOT the
+                # globally-sharded training batch: on a multi-process run the
+                # leader cannot eagerly apply G to non-addressable shards.
+                # A fixed batch also matches the reference's fixed image grid
+                # (training_loop_v0.py:435-443).
+                _snapshot_images(g, state, first, snap)
                 # snapshot-time metric eval (training_loop_v0.py:487-498)
                 if args.metrics != "none":
                     _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
@@ -497,7 +558,7 @@ def main(argv=None):
         save_thread.join()
     if leader:
         snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
-        save_checkpoint(snap, jax.device_get(state), config=vars(args))
+        save_checkpoint(snap, jax.device_get(state), config=snap_config)
         print(f"done; final snapshot {snap}")
 
 

@@ -7,6 +7,9 @@ on synthetic data. Presets:
   flagship — the 512² ecrutileE_eclustrousC training shape (one chip)
 
 Usage: python scripts/bench_train.py [--preset flagship] [--batch 2]
+       python scripts/bench_train.py --preset flagship --breakdown
+         (per-phase wall-clock + XLA-counted FLOPs/bytes -> MFU table;
+          names the top costs — the training-step roofline)
 """
 
 import argparse
@@ -23,11 +26,64 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/panic3d_jax_cache_tpu")
 
 
+def breakdown(args, g, loss, tcfg, state, batch, phases):
+    """Per-phase roofline: each phase compiled as its own single-phase step,
+    timed on device, with XLA's own FLOP/byte counts (cost_analysis) ->
+    per-phase MFU against the chip's peak. The EMA+state overhead rides
+    inside every row (it is ~0.1%% of any phase); the sum of rows tracks the
+    full step within noise."""
+    from panic3d_tpu.training import build_train_step
+
+    dev = jax.devices()[0]
+    peak = 197e12 if "v5 lite" in dev.device_kind else 275e12  # bf16 peak
+
+    rows = []
+    key = jax.random.PRNGKey(1)
+    for ph in phases:
+        step = jax.jit(build_train_step(loss, tcfg, g.z_dim, (ph,)))
+        t0 = time.perf_counter()
+        compiled = step.lower(state, batch, key).compile()
+        t_compile = time.perf_counter() - t0
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        flops = float(ca.get("flops", float("nan")))
+        bytes_ac = float(ca.get("bytes accessed", float("nan")))
+        new_state, stats = compiled(state, batch, key)
+        float(list(stats.values())[0]) if stats else None
+        ts = []
+        for i in range(max(args.iters // 2, 3)):
+            t0 = time.perf_counter()
+            new_state, stats = compiled(state, batch, jax.random.PRNGKey(2 + i))
+            # force a host read so the tunnel's lazy sync can't lie
+            float(jnp.sum(new_state.cur_nimg))
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
+        rows.append(dict(phase=ph, sec=round(dt, 4),
+                         gflops=round(flops / 1e9, 1),
+                         gbytes=round(bytes_ac / 1e9, 2),
+                         mfu=round(flops / (dt * peak), 4),
+                         hbm_frac=round(bytes_ac / dt / 819e9, 3),
+                         compile_s=round(t_compile, 1)))
+        print(rows[-1], flush=True)
+    total = sum(r["sec"] for r in rows)
+    rows.sort(key=lambda r: -r["sec"])
+    print({
+        "metric": f"train_breakdown_{args.preset}",
+        "batch": args.batch,
+        "sum_phase_sec": round(total, 3),
+        "top2": [r["phase"] for r in rows[:2]],
+        "device": dev.device_kind,
+    })
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--preset", default="tiny", choices=["tiny", "flagship"])
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--breakdown", action="store_true",
+                    help="per-phase wall/FLOPs/bytes/MFU roofline table")
     args = ap.parse_args()
 
     from panic3d_tpu import configs
@@ -84,13 +140,17 @@ def main():
     )
     cfg = LossConfig(
         lambda_gcond_lpips=10.0, lambda_gcond_l1=10.0,
-        lambda_gcond_sides_lpips=10.0, lambda_gcond_rand_lpips=10.0,
+        lambda_gcond_sides_lpips=10.0, lambda_gcond_back_l1=10.0,
+        lambda_gcond_rand_lpips=10.0,
     )
     loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const")
     tcfg = TrainConfig(batch_size=bs)
     state = init_state(vars_G, vars_D, tcfg)
-    phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Grand",
-              "Greg", "Dmain", "Dreg")
+    phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back",
+              "Grand", "Greg", "Dmain", "Dreg")
+
+    if args.breakdown:
+        return breakdown(args, g, loss, tcfg, state, batch, phases)
     step = jax.jit(build_train_step(loss, tcfg, g.z_dim, phases))
 
     t0 = time.perf_counter()

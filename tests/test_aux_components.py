@@ -253,3 +253,37 @@ def test_tagger_train_step_improves_loss():
         state, stats = step(state, imgs, labels)
         losses.append(float(stats["loss"]))
     assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+
+def test_lerpspin_interpolates_and_renders(tmp_path):
+    """lerpspin (gen_videos.py gen_interp_video role): cyclic cubic ws
+    interpolation through seed keyframes + batched ws-input renders; frame 0
+    sits ON the first keyframe, and lerp.gif writes next to spin.gif."""
+    from test_training_round2 import tiny_models
+    from panic3d_tpu.data.dataset import synthetic_batch
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.eval.video import lerpspin, save_animation
+
+    g, _ = tiny_models()
+    batch = synthetic_batch(bs=1, size=128, chonk_ch=16, feat_dim=32)
+    cond = jax.tree_util.tree_map(jnp.asarray, batch["cond"])
+    xin0 = {"z": jnp.zeros((1, g.z_dim)), "elevations": jnp.zeros(1),
+            "azimuths": jnp.zeros(1), "cond": cond}
+    variables = g.init({"params": jax.random.PRNGKey(0)}, xin0,
+                       method=TriPlaneGenerator.f, noise_mode="const")
+
+    zs = jax.random.normal(jax.random.PRNGKey(1), (3, g.z_dim))
+    frames = lerpspin(g, variables, {"cond": cond}, zs, n=6, batch=6)
+    assert len(frames) == 6
+    assert all(f.shape == frames[0].shape and np.isfinite(f).all()
+               for f in frames)
+    # frame 0 = keyframe 0 at azimuth 0 == direct z-render of seed 0
+    out0 = g.apply(variables,
+                   dict(xin0, z=zs[:1]),
+                   method=TriPlaneGenerator.f, noise_mode="const")
+    np.testing.assert_allclose(frames[0],
+                               np.clip(np.asarray(out0["image"][0]), 0, 1),
+                               atol=1e-5)
+    p = save_animation(frames, str(tmp_path / "lerp.gif"))
+    import os
+    assert os.path.getsize(p) > 0

@@ -136,68 +136,106 @@ def test_convert_rmline_structure():
     assert out.shape == (1, 3, 21, 21)
 
 
-def test_reference_pickle_extraction(tmp_path):
-    """Round-trip a persistence-style pickle through the shimmed unpickler."""
+def test_reference_persistence_snapshot_roundtrip(tmp_path):
+    """Converter drill against a snapshot authored by the reference's OWN
+    persistence machinery.
+
+    The real `/root/reference/.../torch_utils/persistence.py` is live in this
+    venv the moment the reference triplane module imports (its classes are
+    decorated with the real @persistent_class), so pickling a reference G
+    exactly as training_loop_v0.py:470-485 does produces a byte-identical
+    snapshot format. The drill proves, with zero hand-faked machinery:
+      1. the shimmed unpickler walks real nested persistence objects;
+      2. `_init_args`/`_init_kwargs` recovery reconstructs the model config
+         (the eg3dc_v0.py:41-52 rebuild trick);
+      3. the converted weights drive our G.f to 1e-4 of the torch oracle.
+    The only remaining real-checkpoint risk is bytes this env cannot have.
+    """
+    import copy
     import pickle
+    import sys
+
     import torch
 
-    from panic3d_tpu.runtime.checkpoint import extract_reference_generator
+    sys.path.insert(0, "tests")
+    from ref_torch import deterministic_reference, load_reference_triplane
 
-    # build a nested torch-module-like state the way persistence stores it
-    def module_state(params=None, buffers=None, modules=None, extra=None):
-        d = {
-            "_parameters": params or {},
-            "_buffers": buffers or {},
-            "_modules": modules or {},
-        }
-        d.update(extra or {})
-        return d
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.runtime.checkpoint import (
+        convert_generator_state,
+        extract_reference_generator,
+        generator_config_from_init_kwargs,
+    )
+    from test_reference_parity import CFG, RK, SYN, _inputs, _jax_x, _torch_x
 
-    inner = module_state(params={"weight": torch.ones(2, 3)})
-    meta = {
-        "type": "class",
-        "version": 6,
-        "module_src": "print('SHOULD NEVER RUN')",
-        "class_name": "Foo",
-        "state": module_state(
-            params={"bias": torch.zeros(4)},
-            buffers={"w_avg": torch.ones(5)},
-            modules={"backbone": inner},
-            extra={"init_args": (1, 2), "init_kwargs": {"z_dim": 64},
-                   "neural_rendering_resolution": 64},
+    t = load_reference_triplane()
+    torch.manual_seed(0)
+    G = t.TriPlaneGenerator(rendering_kwargs=RK, **SYN, **CFG)
+    G.neural_rendering_resolution = 16
+    with torch.no_grad():
+        G.decoder.net[2].bias[0] += 2.5  # non-degenerate densities
+
+    # author the snapshot EXACTLY as the reference training loop does
+    # (training_loop_v0.py:470-485): eval/requires_grad_(False)/cpu deepcopy
+    # of each module, training_set_kwargs dict, plain pickle.dump
+    import dnnlib  # the reference's dnnlib, importable via ref_torch sys.path
+
+    snapshot_data = dict(
+        training_set_kwargs=dnnlib.EasyDict(
+            class_name="datasets.ecrutileE.DatasetWrapper", path="/data",
+        )
+    )
+    for name, module in [("G", G), ("D", None), ("G_ema", G),
+                         ("augment_pipe", None)]:
+        if module is not None:
+            module = copy.deepcopy(module).eval().requires_grad_(False).cpu()
+        snapshot_data[name] = module
+        del module
+    snapshot_pkl = tmp_path / "network-snapshot-000000.pkl"
+    with open(snapshot_pkl, "wb") as f:
+        pickle.dump(snapshot_data, f)
+
+    # ---- converter under test -------------------------------------------
+    sd, init_args, init_kwargs, extras = extract_reference_generator(
+        str(snapshot_pkl), key="G_ema"
+    )
+    assert init_args == ()  # trainer constructs by keyword
+    # recovered kwargs reconstruct the config (eg3dc_v0.py:41-52 role) —
+    # every ctor input we fed in comes back out
+    for k, v in CFG.items():
+        assert init_kwargs[k] == v, k
+    for k, v in SYN.items():
+        assert init_kwargs[k] == v, k
+    assert dict(init_kwargs["rendering_kwargs"]) == RK
+    assert extras["neural_rendering_resolution"] == 16
+
+    cfg = generator_config_from_init_kwargs(init_kwargs, extras)
+    assert cfg["synthesis_kwargs"] == SYN
+    g = TriPlaneGenerator(**cfg)
+    assert g.neural_rendering_resolution == 16
+
+    # state_dict extracted through the pickle == the module's own state_dict
+    direct = {k: v.detach().numpy() for k, v in G.state_dict().items()}
+    assert set(sd) == set(direct)
+    for k in direct:
+        np.testing.assert_array_equal(sd[k], direct[k], err_msg=k)
+
+    # converted weights drive our generator to parity
+    d = _inputs(bs=2)
+    tmpl = jax.tree_util.tree_map(
+        np.asarray,
+        jax.device_get(
+            g.init({"params": jax.random.PRNGKey(0)}, _jax_x(d),
+                   method=TriPlaneGenerator.f, noise_mode="const")
         ),
-    }
-
-    # register a fake torch_utils.persistence so pickling records the exact
-    # global name the reference uses for its reconstruction hook
-    import sys
-    import types
-
-    fake_tu = types.ModuleType("torch_utils")
-    fake_pers = types.ModuleType("torch_utils.persistence")
-
-    def _reconstruct_persistent_obj(m):  # never called on load (shimmed)
-        raise AssertionError("should be shimmed out")
-
-    _reconstruct_persistent_obj.__module__ = "torch_utils.persistence"
-    _reconstruct_persistent_obj.__qualname__ = "_reconstruct_persistent_obj"
-    fake_pers._reconstruct_persistent_obj = _reconstruct_persistent_obj
-    fake_tu.persistence = fake_pers
-    sys.modules["torch_utils"] = fake_tu
-    sys.modules["torch_utils.persistence"] = fake_pers
-
-    class FakePersist:
-        def __reduce__(self):
-            return (_reconstruct_persistent_obj, (meta,))
-
-    payload = pickle.dumps({"G_ema": FakePersist()})
-    del sys.modules["torch_utils"], sys.modules["torch_utils.persistence"]
-    p = tmp_path / "net.pkl"
-    p.write_bytes(payload)
-
-    sd, init_args, init_kwargs, extras = extract_reference_generator(str(p))
-    assert init_args == (1, 2) and init_kwargs == {"z_dim": 64}
-    assert extras["neural_rendering_resolution"] == 64
-    np.testing.assert_array_equal(sd["bias"], np.zeros(4))
-    np.testing.assert_array_equal(sd["w_avg"], np.ones(5))
-    np.testing.assert_array_equal(sd["backbone.weight"], np.ones((2, 3)))
+    )
+    variables, converted, missing = convert_generator_state(sd, tmpl)
+    assert missing == []
+    with deterministic_reference(G), torch.no_grad():
+        out_t = G.f(_torch_x(d, torch))
+    out_j = g.apply(variables, _jax_x(d), method=TriPlaneGenerator.f,
+                    noise_mode="const")
+    for k in ("image", "image_raw", "image_depth"):
+        a = np.asarray(out_j[k], dtype=np.float32)
+        b = out_t[k].detach().numpy()
+        assert np.abs(a - b).max() <= 1e-4, k

@@ -242,10 +242,12 @@ def test_trainer_flag_plumbing():
     from panic3d_tpu.training.trainer import build_models, parse_args
 
     args = parse_args(["--name", "t", "--triplane-depth", "3",
-                       "--batch-gpu", "2"])
-    g, d, _, _ = build_models(args)
+                       "--batch-gpu", "2", "--mesh-rays", "2"])
+    g, d, _, _, model_kwargs = build_models(args)
     assert g.triplane_depth == 3
     assert args.batch_gpu == 2
+    assert args.mesh_rays == 2
+    assert model_kwargs["rendering_kwargs"]["triplane_depth"] == 3
     tcfg = TrainConfig(batch_size=4, batch_gpu=2)
     assert tcfg.n_micro == 2
 
@@ -272,9 +274,12 @@ def test_find_resume_skips_unusable_snapshots(tmp_path):
 
 
 def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
-    """A tiny synthetic run with --metrics fid50k_full must evaluate FID at
-    the snapshot and write metric-fid50k_full.jsonl (random-init feature
-    net: the MECHANISM is under test, not the value)."""
+    """A tiny synthetic run with --metrics fid_clip must evaluate FID at
+    the snapshot and write metric-fid_clip.jsonl (random-init feature
+    net: the MECHANISM is under test, not the value; fid_clip rather than
+    fid50k_full keeps the 299² Inception compile out of this e2e — the
+    fid50k_full->Inception routing is covered by test_round3_fixes.py and
+    the detector itself by test_inception.py)."""
     import json
     import os
 
@@ -284,12 +289,12 @@ def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
     trainer.main([
         "--name", "msmoke", "--tiny", "--synthetic", "--batch", "2",
         "--gamma", "1", "--max-steps", "3", "--tick-steps", "1",
-        "--snap", "2", "--metrics", "fid50k_full", "--metric-items", "4",
+        "--snap", "2", "--metrics", "fid_clip", "--metric-items", "4",
         "--outdir", out,
     ])
     run_dir = os.path.join(out, "msmoke")
-    jl = os.path.join(run_dir, "metric-fid50k_full.jsonl")
+    jl = os.path.join(run_dir, "metric-fid_clip.jsonl")
     assert os.path.isfile(jl), os.listdir(run_dir)
     rec = json.loads(open(jl).read().strip().splitlines()[-1])
-    assert "results" in rec and "fid50k_full" in rec["results"]
-    assert np.isfinite(rec["results"]["fid50k_full"])
+    assert "results" in rec and "fid_clip" in rec["results"]
+    assert np.isfinite(rec["results"]["fid_clip"])
