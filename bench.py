@@ -4,11 +4,22 @@ Runs the eval-mode ecrutileE_eclustrousC forward (96+96 ray samples at 64²
 neural res -> SR to 512², BASELINE.md eval settings) and reports sustained
 views/sec on one chip.
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md);
-the driver target is >=5x an RTX 3080 Ti running the torch reference, which
-renders ~2 views/sec at these settings (eval-time G.f at 96+96 samples,
-single image per call). vs_baseline = views_per_sec / 2.0 against that
-estimate until a measured torch baseline lands.
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md),
+and no NVIDIA GPU exists in this environment, so the RTX 3080 Ti divisor is
+DERIVED from measured anchors (scripts/bench_torch_baseline.py, r3):
+  * measured: the torch reference G.f at these exact settings runs at
+    7.16 s/view on this host's CPU core (0.140 views/s), with the same
+    core's achieved GEMM rate measured at 114 GFLOP/s;
+  * spec ratio: 3080 Ti fp32 peak 34.1 TFLOPs = 299x that core's achieved
+    rate -> HARD upper bound 0.140*299 = 42 views/s at perfect
+    efficiency transfer (unachievable: torch eager at bs=1 on a GPU is
+    launch/memory-bound);
+  * the one remaining assumption is the eager-GPU derate; 4:1 (typical
+    bs=1 small-kernel utilization gap vs CPU eager) gives the baseline
+    estimate of 10 views/s used here. vs_baseline = views_per_sec / 10.0
+    (override via BASELINE_VIEWS_PER_SEC).
+The previous rounds' divisor was a flat ~2 views/s guess; the change is
+provenance, not a regression — absolute views/s is the headline number.
 """
 
 import json
@@ -93,7 +104,10 @@ def main():
     dt_sustained = (time.perf_counter() - t0) / n_iters
 
     views_per_sec = bs / dt
-    baseline = 2.0  # est. torch reference on RTX 3080 Ti (see docstring)
+    # derived torch-on-3080Ti estimate from measured anchors (docstring;
+    # scripts/bench_torch_baseline.py): 0.140 views/s measured on CPU x299
+    # spec ratio / 4 eager-GPU derate
+    baseline = float(os.environ.get("BASELINE_VIEWS_PER_SEC", 10.0))
     out = {
         "metric": "render_512px_views_per_sec_per_chip",
         "value": round(views_per_sec, 3),

@@ -108,7 +108,7 @@ def frechet_distance(mu1, cov1, mu2, cov2) -> float:
     import scipy.linalg
 
     m = np.square(mu1 - mu2).sum()
-    s, _ = scipy.linalg.sqrtm(np.dot(cov1, cov2), disp=False)
+    s = scipy.linalg.sqrtm(np.dot(cov1, cov2))  # may be complex near-singular
     return float(np.real(m + np.trace(cov1 + cov2 - s * 2)))
 
 

@@ -197,7 +197,12 @@ class MappingNetwork(nn.Module):
         if self.num_ws is not None:
             x = jnp.repeat(x[:, None, :], self.num_ws, axis=1)
 
-        if truncation_psi != 1:
+        # `is not 1` would need a host bool; psi may be a TRACED scalar (the
+        # interactive viewer jits it as an argument so a slider move never
+        # recompiles). The lerp is an identity at psi=1, so apply it
+        # unconditionally — one fused FMA, free under XLA.
+        if not (isinstance(truncation_psi, (int, float))
+                and truncation_psi == 1):
             assert self.w_avg_beta is not None
             w_avg = self.get_variable("buffers", "w_avg")
             if self.num_ws is None or truncation_cutoff is None:
