@@ -60,9 +60,11 @@ class Reconstructor:
             self.variables = None  # lazy init on first cond (shape-dependent)
         else:
             assert ckpt, "pass ckpt=, model=, or tiny=True"
-            from .runtime.checkpoint import load_checkpoint
+            from .runtime.checkpoint import (extract_generator_variables,
+                                             load_checkpoint)
 
-            self.variables, config = load_checkpoint(ckpt)
+            state, config = load_checkpoint(ckpt)
+            self.variables = extract_generator_variables(state)
             self.g = configs.from_snapshot_config(config, eval_mode=True)
         self._key = jax.random.PRNGKey(seed)
 

@@ -288,7 +288,9 @@ def synthetic_batch(bs=2, size=64, chonk_ch=16, feat_dim=32, boxwarp=0.7,
     cond = {
         "resnet_feats": rng.randn(bs, feat_dim).astype(np.float32),
         "resnet_chonk": rng.randn(bs, chonk_ch, 8, 8).astype(np.float32),
-        "image": image * 2 - 1,
+        # [0,1] like every condition image (the reference's Img.t() range;
+        # recon losses compare [0,1] renders against it)
+        "image": image,
         "image_xyz": xyz_r,
         "image_alpha": alpha,
         "image_camera": cam,

@@ -62,10 +62,11 @@ def main(argv=None):
         report_metric,
     )
 
+    from ..runtime.checkpoint import extract_generator_variables
+
     state, config = load_checkpoint(args.ckpt)
     g = configs.from_snapshot_config(config, eval_mode=False)
-    # trainer snapshots hold the full train state; bare variables also load
-    vars_Gema = state.get("vars_Gema", state) if isinstance(state, dict) else state
+    vars_Gema = extract_generator_variables(state)
 
     cfg = dict(config or {})
     size = g.img_resolution
@@ -129,7 +130,8 @@ def main(argv=None):
             n = 0
             while n < args.metric_items:
                 b = next(it)
-                real.append(fn(np.asarray(b["cond"]["image"]) * 0.5 + 0.5))
+                # condition images are [0,1] already (dataset convention)
+                real.append(fn(np.asarray(b["cond"]["image"])))
                 n += args.batch
             for fakes in generate_fakes(g, vars_Gema, make_batch_iter(),
                                         args.metric_items):
@@ -165,8 +167,8 @@ def main(argv=None):
                 return lpips_mod.apply(lpips_vars, a, b)
 
             d = compute_ppl(g, vars_Gema, make_batch_iter, lpips_fn,
-                            num_samples=min(args.metric_items, 200),
-                            batch_size=min(args.batch, 2))
+                            num_samples=args.metric_items,
+                            batch_size=args.batch)
             r = calc_metric(name, ppl_distances=d)
             report_metric(r, run_dir=run_dir, snapshot_pkl=snapshot_name)
         else:

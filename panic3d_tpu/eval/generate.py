@@ -126,7 +126,10 @@ def main(argv=None):
         variables = None  # random init below
     else:
         assert args.ckpt, "--ckpt required unless --tiny"
-        variables, config = load_checkpoint(args.ckpt)
+        from ..runtime.checkpoint import extract_generator_variables
+
+        state, config = load_checkpoint(args.ckpt)
+        variables = extract_generator_variables(state)
         g = configs.from_snapshot_config(config, eval_mode=True)
 
     dk = DatabackendMinna(args.data)

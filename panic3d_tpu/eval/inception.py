@@ -229,7 +229,11 @@ class InceptionV3(nn.Module):
         lo, hi = in_range
         x = (images - lo) * (2.0 / (hi - lo)) - 1.0
         if x.shape[-2:] != (299, 299):
-            x = jax.image.resize(x, x.shape[:-2] + (299, 299), method="linear")
+            # antialias=False: torch F.interpolate(bilinear) does NOT widen
+            # the kernel on downscale, and the flagship feeds 512² images —
+            # an antialiased resize would systematically shift the features
+            x = jax.image.resize(x, x.shape[:-2] + (299, 299),
+                                 method="linear", antialias=False)
         return x
 
 

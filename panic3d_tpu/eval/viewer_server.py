@@ -86,7 +86,6 @@ class ViewerBackend:
 
     def __init__(self, g, variables, cond):
         import jax
-        from functools import partial
 
         self.g = g
         self.variables = variables
@@ -192,13 +191,18 @@ def build_backend(ckpt=None, tiny=False):
     from ..models.triplane import TriPlaneGenerator
 
     if ckpt:
-        from ..runtime.checkpoint import load_checkpoint
+        from ..runtime.checkpoint import (extract_generator_variables,
+                                          load_checkpoint)
 
-        variables, config = load_checkpoint(ckpt)
+        state, config = load_checkpoint(ckpt)
+        variables = extract_generator_variables(state)  # trainer snapshots
         g = configs.from_snapshot_config(config, eval_mode=True)
+        cfg = dict(config or {})
+        tiny = (cfg.get("tiny")
+                or (cfg.get("model_kwargs") or {}).get("family") == "tiny")
         rng = np.random.RandomState(0)
         res = g.img_resolution
-        chonk = 512 if not (config or {}).get("tiny") else 16
+        chonk = 16 if tiny else 512
         cond = {
             "image_ortho_front": jnp.asarray(
                 rng.rand(1, 3, res, res).astype(np.float32)),

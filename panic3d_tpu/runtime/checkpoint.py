@@ -96,6 +96,38 @@ class _RefUnpickler(pickle.Unpickler):
         return super().find_class(module, name)
 
 
+def extract_generator_variables(state):
+    """Bare G variables from any checkpoint layout.
+
+    Trainer snapshots hold the full GANTrainState (vars_G/vars_Gema/opt_*);
+    converted/exported checkpoints hold bare variables. Inference loaders
+    (api/generate/viewer_server/calc_metrics) want G_ema when present —
+    mirroring the reference's `G_ema` pickle key (training_loop_v0.py:480)."""
+    if isinstance(state, dict) and "vars_Gema" in state:
+        return state["vars_Gema"]
+    return state
+
+
+def load_train_state(path: str, template):
+    """Restore a GANTrainState, tolerating fields the snapshot predates.
+
+    flax.from_bytes raises on ANY missing dataclass field, so a new state
+    field (e.g. r3's pl_mean) would break auto-resume of older snapshots.
+    Missing top-level fields keep the template's (freshly initialized)
+    value; extra snapshot keys are an error (they signal incompatibility).
+    """
+    import flax.serialization
+
+    raw, config = load_checkpoint(path)
+    tmpl_sd = flax.serialization.to_state_dict(template)
+    unknown = set(raw) - set(tmpl_sd)
+    if unknown:
+        raise ValueError(f"snapshot has unknown state fields: {sorted(unknown)}")
+    for k, v in tmpl_sd.items():
+        raw.setdefault(k, v)
+    return flax.serialization.from_state_dict(template, raw), config
+
+
 def load_reference_pickle(path: str) -> dict:
     with open(path, "rb") as f:
         return _RefUnpickler(f).load()

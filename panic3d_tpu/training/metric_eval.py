@@ -187,7 +187,8 @@ def evaluate_fid(
     def compute_real():
         st = FeatureStats(max_items=n_items)
         for batch in batch_iter_factory():
-            st.append(feature_fn(batch["cond"]["image"] * 0.5 + 0.5))
+            # condition images are already [0,1] (dataset convention)
+            st.append(feature_fn(batch["cond"]["image"]))
             if st.is_full:
                 break
         return st

@@ -175,6 +175,9 @@ def build_models(args):
     return g, d, chonk_ch, feat_dim, model_kwargs
 
 
+_metric_feature_fns: dict = {}  # name -> feature_fn, reused across snapshots
+
+
 def _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap):
     """Snapshot-time metric eval (training_loop_v0.py:487-498 role)."""
     try:
@@ -187,7 +190,11 @@ def _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap):
         for name in ("fid50k_full", "fid_clip"):
             if name not in requested:
                 continue
-            if name == "fid50k_full":
+            # build each detector ONCE per process: a fresh jitted closure
+            # every snapshot would recompile the feature net each time
+            if name in _metric_feature_fns:
+                feature_fn = _metric_feature_fns[name]
+            elif name == "fid50k_full":
                 inc_vars = None
                 if args.inception_weights:
                     from ..runtime.checkpoint import load_checkpoint as _lc
@@ -199,6 +206,7 @@ def _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap):
                     from ..runtime.checkpoint import load_checkpoint as _lc
                     clip_vars, _ = _lc(args.clip_weights)
                 feature_fn = make_clip_feature_fn(clip_vars)
+            _metric_feature_fns[name] = feature_fn
             r = evaluate_fid(
                 g, state.vars_Gema, make_batch_iter, feature_fn,
                 n_items=args.metric_items, run_dir=run_dir,
@@ -411,7 +419,10 @@ def main(argv=None):
         state = state.replace(aug_p=jnp.float32(args.aug_p))
     if resume:
         print(f"resuming from {resume}")
-        restored, _ = load_checkpoint(resume, target=state)
+        # tolerant restore: snapshots from before a state field existed
+        # (e.g. pl_mean) resume with the fresh default for that field
+        from ..runtime.checkpoint import load_train_state
+        restored, _ = load_train_state(resume, state)
         state = restored
 
     uses_lpips = any(

@@ -220,10 +220,13 @@ def test_inception_converter_parity(oracle):
 
 
 @pytest.mark.fast
-def test_inception_preprocess_matches_torch_resize():
-    """preprocess = bilinear align_corners=False to 299 + range map."""
+@pytest.mark.parametrize("size", [64, 512])
+def test_inception_preprocess_matches_torch_resize(size):
+    """preprocess = bilinear align_corners=False to 299 + range map — for
+    BOTH directions; 512->299 is the flagship's downscale, where an
+    antialiased resize would diverge from the torch pipe."""
     rng = np.random.RandomState(1)
-    img = rng.rand(1, 3, 64, 64).astype(np.float32)  # [0,1] domain
+    img = rng.rand(1, 3, size, size).astype(np.float32)  # [0,1] domain
     out = np.asarray(InceptionV3.preprocess(img, in_range=(0.0, 1.0)))
     ref = F.interpolate(torch.from_numpy(img) * 2 - 1, size=(299, 299),
                         mode="bilinear", align_corners=False).numpy()

@@ -1,4 +1,5 @@
-"""Real 2-process multi-host run (slow tier: two subprocess JAX inits).
+"""Real 2-process multi-host run (fast tier: CPU-only subprocess JAX inits
+measure ~6 s total on this host — the toy model compiles in milliseconds).
 
 See test_multihost.py for the single-process scaffolding tests.
 """

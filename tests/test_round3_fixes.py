@@ -49,6 +49,58 @@ def test_save_checkpoint_atomic(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# pre-round-3 snapshots (no pl_mean field) must still resume
+
+def test_resume_tolerates_missing_state_fields(tmp_path):
+    """load_train_state restores a snapshot that predates a GANTrainState
+    field: the missing field keeps its fresh default instead of from_bytes
+    raising; unknown extra fields stay an error."""
+    import dataclasses
+
+    import flax.serialization
+
+    from panic3d_tpu.runtime.checkpoint import (load_train_state,
+                                                save_checkpoint)
+    from panic3d_tpu.training import TrainConfig, init_state
+
+    vars_G = {"params": {"w": jnp.ones((3,), jnp.float32)}}
+    vars_D = {"params": {"w": jnp.zeros((2,), jnp.float32)}}
+    state = init_state(vars_G, vars_D, TrainConfig(batch_size=2))
+    state = state.replace(cur_nimg=jnp.int32(128))
+
+    # author an OLD-format snapshot: serialize without the pl_mean field
+    sd = flax.serialization.to_state_dict(state)
+    del sd["pl_mean"]
+    snap = tmp_path / "network-snapshot-000128"
+    save_checkpoint(str(snap), sd, config={"a": 1})
+
+    template = init_state(vars_G, vars_D, TrainConfig(batch_size=2))
+    restored, cfg = load_train_state(str(snap), template)
+    assert int(restored.cur_nimg) == 128
+    assert float(restored.pl_mean) == 0.0  # fresh default
+    assert cfg == {"a": 1}
+
+    # unknown extra field -> loud error, not silent drop
+    sd2 = dict(flax.serialization.to_state_dict(state), bogus=np.zeros(1))
+    snap2 = tmp_path / "network-snapshot-000129"
+    save_checkpoint(str(snap2), sd2)
+    with pytest.raises(ValueError, match="bogus"):
+        load_train_state(str(snap2), template)
+
+
+# ---------------------------------------------------------------------------
+# trainer snapshots load everywhere: full-state unwrap
+
+def test_generator_variables_unwrap():
+    from panic3d_tpu.runtime.checkpoint import extract_generator_variables
+
+    bare = {"params": {"w": 1}}
+    full = {"vars_G": {}, "vars_Gema": bare, "opt_G": {}, "cur_nimg": 0}
+    assert extract_generator_variables(bare) is bare
+    assert extract_generator_variables(full) is bare
+
+
+# ---------------------------------------------------------------------------
 # model_kwargs in snapshot config -> loader roundtrip
 
 def test_from_snapshot_config_roundtrip():
@@ -181,6 +233,7 @@ def test_snapshot_metric_feature_routing(monkeypatch, tmp_path):
     CLIP tower for fid_clip; each report is labeled with its own name."""
     from panic3d_tpu.training import metric_eval, trainer
 
+    trainer._metric_feature_fns.clear()  # per-process detector cache
     used = []
     monkeypatch.setattr(metric_eval, "make_inception_feature_fn",
                         lambda v=None, probs=False: used.append("inception"))
