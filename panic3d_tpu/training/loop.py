@@ -199,6 +199,14 @@ def build_train_step(
                         z, c, k, cur_nimg, aug_p=aug_p,
                     )
                 state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
+            elif phase == "Grecon-fused":
+                # all active ortho recon views in one pass sharing one
+                # backbone forward (--fuse-recon; see loss.g_cond_fused_loss)
+                def fn(p, mb, z, c, k):
+                    return loss.g_cond_fused_loss(
+                        dict(state.vars_G, params=p), mb, z, k
+                    )
+                state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
             elif phase in ("Gcond", "Gside-left", "Gside-right", "Gside-back",
                            "Grand"):
                 view = {

@@ -228,13 +228,16 @@ class OrthoCondLoss:
     """
 
     def __init__(self, cfg: LossConfig, G_f, G_mapping, G_sample_mixed, D_apply,
-                 lpips_fn, augment_fn=None):
+                 lpips_fn, augment_fn=None, G_planes=None):
         self.cfg = cfg
         self.G_f = G_f
         self.G_mapping = G_mapping
         self.G_sample_mixed = G_sample_mixed
         self.D_apply = D_apply
         self.lpips_fn = lpips_fn
+        # G_planes(params, ws, cond, key) -> triplanes; only needed by the
+        # fused recon phase (backbone runs once, views share the planes)
+        self.G_planes = G_planes
         # ADA: augment_fn(images, key, p) -> images; applied to the
         # joint [image, upsampled raw] pair inside run_D so the geometric
         # warp is consistent across both discrimination streams
@@ -297,6 +300,89 @@ class OrthoCondLoss:
             f"Loss/G/{view}": loss,
         }
         return loss, stats
+
+    def fused_recon_views(self):
+        """Ortho views with any active lambda — the fused phase's set."""
+        c = self.cfg
+        views = []
+        if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
+            views.append("front")
+        if (c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1
+                + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2) > 0:
+            views += ["left", "right"]
+        if (c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1
+                + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2) > 0:
+            views.append("back")
+        return tuple(views)
+
+    def g_cond_fused_loss(self, params_G, batch, z, key):
+        """All active ortho recon views in ONE pass sharing ONE backbone
+        forward (TPU-efficiency option, `--fuse-recon`).
+
+        The r3 roofline (PARITY.md) shows every recon phase is HBM-bound
+        and each re-synthesizes the identical (z, cond) triplane; here the
+        planes are computed once and tiled across the view axis, the
+        renders+SR run as one batched G.f, and the per-view losses (same
+        lambdas as the separate phases) sum into ONE Adam step — the one
+        semantic deviation from the reference's per-phase stepping.
+        Requires c_gen_conditioning_zero (flagship default: ws camera-free)
+        and no paste compositing."""
+        cfg = self.cfg
+        assert cfg.paste_params is None, "fused recon incompatible with paste"
+        cond = batch["cond"]
+        views = self.fused_recon_views()
+        V, n = len(views), z.shape[0]
+        k_planes, k_f = jax.random.split(key)
+
+        c_front = cond["image_ortho_front_camera"]
+        ws = self.G_mapping(params_G, z, c_front, cond)
+        planes = self.G_planes(params_G, ws, cond, k_planes)
+
+        az = {"front": 0.0, "left": 90.0, "right": -90.0, "back": 180.0}
+
+        def tile(x):  # [n, ...] -> [V*n, ...] (view-major, matching stacks)
+            return jnp.concatenate([x] * V, axis=0)
+
+        xin = {
+            "ws": tile(ws),
+            "cond": jax.tree_util.tree_map(tile, cond),
+            "_planes": tile(planes),
+            "camera_params": jnp.concatenate(
+                [cond[f"image_ortho_{v}_camera"] for v in views], axis=0),
+            "elevations": jnp.zeros(V * n),
+            "azimuths": jnp.concatenate(
+                [az[v] * jnp.ones(n) for v in views]),
+            "distances": jnp.ones(V * n),
+        }
+        out = self.G_f(params_G, xin, k_f)
+
+        lam_of = {
+            "front": (cfg.lambda_gcond_lpips, cfg.lambda_gcond_l1,
+                      cfg.lambda_gcond_alpha_l2, cfg.lambda_gcond_depth_l2),
+            "back": (cfg.lambda_gcond_back_lpips, cfg.lambda_gcond_back_l1,
+                     cfg.lambda_gcond_back_alpha_l2, cfg.lambda_gcond_back_depth_l2),
+        }
+        lam_sides = (cfg.lambda_gcond_sides_lpips, cfg.lambda_gcond_sides_l1,
+                     cfg.lambda_gcond_sides_alpha_l2, cfg.lambda_gcond_sides_depth_l2)
+        total = 0.0
+        stats = {}
+        for i, v in enumerate(views):
+            out_v = {k: out[k][i * n:(i + 1) * n] for k in
+                     ("image", "image_weights", "image_xyz")}
+            l_lp, l_l1, l_a, l_d = recon_view_losses(
+                out_v, cond[f"image_ortho_{v}"], cond[f"image_ortho_{v}_alpha"],
+                cond[f"image_ortho_{v}_xyz"], self.lpips_fn,
+                depth_axis=0 if v in ("left", "right") else 2,
+            )
+            lam = lam_of.get(v, lam_sides)
+            lv = lam[0] * l_lp + lam[1] * l_l1 + lam[2] * l_a + lam[3] * l_d
+            total = total + lv
+            stats[f"Loss/G/{v}/lpips"] = l_lp
+            stats[f"Loss/G/{v}/l1"] = l_l1
+            stats[f"Loss/G/{v}/alpha_l2"] = l_a
+            stats[f"Loss/G/{v}/depth_l2"] = l_d
+            stats[f"Loss/G/{v}"] = lv
+        return total, stats
 
     # -- adversarial helpers --------------------------------------------------
 

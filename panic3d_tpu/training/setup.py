@@ -52,6 +52,15 @@ def make_loss(
     def G_mapping(vars_G, z, c, cond):
         return G.apply(vars_G, z, c, cond, method=TriPlaneGenerator.mapping)
 
+    def G_planes(vars_G, ws, cond, key):
+        """Backbone-only synthesis: ws -> triplanes (fused recon phase)."""
+        return G.apply(
+            vars_G, ws, cond,
+            method=TriPlaneGenerator._planes_from_ws,
+            rngs={"noise": key} if noise_mode == "random" else {},
+            noise_mode=noise_mode,
+        )
+
     def G_sample_mixed(vars_G, coords, dirs, ws, cond):
         return G.apply(
             vars_G, coords, dirs, ws, cond,
@@ -77,7 +86,7 @@ def make_loss(
             return augment_pipe(images, key, p, acfg)
 
     return OrthoCondLoss(cfg, G_f, G_mapping, G_sample_mixed, D_apply, lpips_fn,
-                         augment_fn=augment_fn)
+                         augment_fn=augment_fn, G_planes=G_planes)
 
 
 def init_lpips(key=None):

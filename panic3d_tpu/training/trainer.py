@@ -67,6 +67,10 @@ def parse_args(argv=None):
     ap.add_argument("--paste-params-mode", default="none")
     ap.add_argument("--density-reg", type=float, default=0.25)
     ap.add_argument("--reg-type", default="l1")
+    # TPU efficiency: fold the ortho recon phases (Gcond/Gside-*) into one
+    # shared-backbone pass with a single Adam step (roofline-driven; the
+    # per-view lambdas/losses are identical, only the step grouping differs)
+    ap.add_argument("--fuse-recon", action="store_true")
     # path-length regularization (the pl_* options the reference loss keeps,
     # loss.py:44-48; Gpl rides the Greg lazy-reg interval)
     ap.add_argument("--pl-weight", type=float, default=0.0)
@@ -263,7 +267,7 @@ def main(argv=None):
         GANTrainState, TrainConfig, ada_update, build_train_step, init_state,
         phases_for_step,
     )
-    from .loss import LossConfig
+    from .loss import LossConfig, OrthoCondLoss
     from .setup import init_lpips, make_loss
     from .stats import Collector, JsonlLogger
 
@@ -339,12 +343,18 @@ def main(argv=None):
     # which phases exist (training_loop_v0.py:221-266 lambda gating)
     phases = ["Gmain"]
     c = loss_cfg
-    if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
-        phases.append("Gcond")
-    if c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1 + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2 > 0:
-        phases += ["Gside-left", "Gside-right"]
-    if c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1 + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2 > 0:
-        phases.append("Gside-back")
+    if args.fuse_recon:
+        # the active ortho recon views fold into ONE shared-backbone phase
+        # (roofline-driven TPU option; one Adam step for the group)
+        if OrthoCondLoss(c, None, None, None, None, None).fused_recon_views():
+            phases.append("Grecon-fused")
+    else:
+        if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
+            phases.append("Gcond")
+        if c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1 + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2 > 0:
+            phases += ["Gside-left", "Gside-right"]
+        if c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1 + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2 > 0:
+            phases.append("Gside-back")
     if c.lambda_gcond_rand_lpips + c.lambda_gcond_rand_l1 + c.lambda_gcond_rand_alpha_l2 + c.lambda_gcond_rand_depth_l2 > 0:
         phases.append("Grand")
     if args.density_reg > 0:

@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--breakdown", action="store_true",
                     help="per-phase wall/FLOPs/bytes/MFU roofline table")
+    ap.add_argument("--fuse-recon", action="store_true",
+                    help="one shared-backbone recon phase instead of "
+                         "Gcond/Gside-* (the roofline-driven optimization)")
     args = ap.parse_args()
 
     from panic3d_tpu import configs
@@ -146,8 +149,11 @@ def main():
     loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const")
     tcfg = TrainConfig(batch_size=bs)
     state = init_state(vars_G, vars_D, tcfg)
-    phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back",
-              "Grand", "Greg", "Dmain", "Dreg")
+    if args.fuse_recon:
+        phases = ("Gmain", "Grecon-fused", "Grand", "Greg", "Dmain", "Dreg")
+    else:
+        phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back",
+                  "Grand", "Greg", "Dmain", "Dreg")
 
     if args.breakdown:
         return breakdown(args, g, loss, tcfg, state, batch, phases)

@@ -270,3 +270,59 @@ def test_ppl_uses_const_noise():
     src = inspect.getsource(metric_eval.compute_ppl)
     assert 'noise_mode="const"' in src
     assert '"noise":' not in src  # no per-endpoint noise rngs threaded
+
+
+# ---------------------------------------------------------------------------
+# fused recon phase (--fuse-recon): one shared-backbone pass == the sum of
+# the separate per-view phases
+
+def test_fused_recon_matches_separate_phases():
+    from test_training_round2 import BS, SIZE, tiny_models
+    from panic3d_tpu.data.dataset import synthetic_batch
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.training import LossConfig
+    from panic3d_tpu.training.setup import init_lpips, make_loss
+
+    g, d = tiny_models()
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_batch(bs=BS, size=SIZE * 2, chonk_ch=16,
+                                     feat_dim=32))
+    key = jax.random.PRNGKey(0)
+    xin = {"z": jnp.zeros((BS, g.z_dim)), "camera_params": batch["camera"],
+           "cond": batch["cond"]}
+    vars_G = g.init({"params": key, "noise": key}, xin,
+                    method=TriPlaneGenerator.f, noise_mode="const")
+
+    cfg = LossConfig(
+        lambda_gcond_lpips=10.0, lambda_gcond_l1=1.0,
+        lambda_gcond_alpha_l2=0.5, lambda_gcond_depth_l2=0.5,
+        lambda_gcond_sides_lpips=10.0, lambda_gcond_back_l1=2.0,
+    )
+    # deterministic renderer: the fused pass and the separate phases must
+    # agree EXACTLY (same planes, same key-free quadrature)
+    loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const",
+                     deterministic=True)
+    assert loss.fused_recon_views() == ("front", "left", "right", "back")
+
+    z = jax.random.normal(jax.random.PRNGKey(1), (BS, g.z_dim))
+    k = jax.random.PRNGKey(2)
+    fused, fstats = jax.jit(loss.g_cond_fused_loss)(vars_G, batch, z, k)
+
+    sep_total = 0.0
+    for view in ("front", "left", "right", "back"):
+        lv, vstats = jax.jit(
+            lambda p, b, zz, kk, v=view: loss.g_cond_loss(p, b, zz, kk, view=v)
+        )(vars_G, batch, z, k)
+        sep_total += float(lv)
+        np.testing.assert_allclose(
+            float(fstats[f"Loss/G/{view}/l1"]),
+            float(vstats[f"Loss/G/{view}/l1"]), rtol=2e-5)
+    np.testing.assert_allclose(float(fused), sep_total, rtol=2e-5)
+
+    # grads flow into the backbone through the shared planes
+    grads = jax.grad(
+        lambda p: loss.g_cond_fused_loss(
+            dict(vars_G, params=p), batch, z, k)[0]
+    )(vars_G["params"])
+    gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
+    assert np.isfinite(gsum) and gsum > 0
