@@ -119,13 +119,18 @@ class Reconstructor:
         (image, image_xyz, image_weights)."""
         import jax.numpy as jnp
 
-        from .eval.generate import _get_render_jit
+        from .eval.generate import (_get_planes_jit, _get_render_jit,
+                                    plane_cache_ok)
 
         self._ensure_init(cond)
         n = len(elevations)
         fovs = list(fovs) if fovs is not None else [30.0] * n
         vb = min(self.view_batch, n)
-        render = _get_render_jit(self.g, self.opts, self.seed, vb)
+        cache_planes = plane_cache_ok(self.g)
+        render = _get_render_jit(self.g, self.opts, self.seed, vb,
+                                 from_planes=cache_planes)
+        ws_pl = (_get_planes_jit(self.g, self.seed)(self.variables, cond)
+                 if cache_planes else ())
         outs = []
         for i in range(0, n, vb):
             sl = slice(i, min(i + vb, n))
@@ -138,7 +143,7 @@ class Reconstructor:
 
             out = render(
                 self.variables, arr(list(elevations)), arr(list(azimuths)),
-                arr(fovs), cond,
+                arr(fovs), cond, *ws_pl,
             )
             outs.append({kk: np.asarray(v)[:k] for kk, v in out.items()})
         return Dict({

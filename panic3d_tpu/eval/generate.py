@@ -43,7 +43,7 @@ EVAL_VIEWS = [
 _RENDER_JIT = {}
 
 
-def _get_render_jit(g, opts, seed, vb):
+def _get_render_jit(g, opts, seed, vb, from_planes=False):
     """One jitted view-batch forward per (model, opts, seed, batch) —
     compiled once, reused across every view batch of every portrait.
 
@@ -51,36 +51,105 @@ def _get_render_jit(g, opts, seed, vb):
     link; batching vb views per call also amortizes the per-call RPC
     latency (bench.py: vb=2 is the per-chip optimum at 512²). Ortho and
     pinhole views mix freely in one batch (fov<0 selects ortho rays
-    per element)."""
+    per element).
+
+    from_planes=True returns the plane-reusing variant
+    `render(variables, elevations, azimuths, fovs, cond, ws, planes)`:
+    (ws, planes) come from `_get_planes_jit` computed ONCE per portrait,
+    so the StyleGAN2 backbone runs once per subject instead of once per
+    view batch. Output-identical to the full forward when the mapping is
+    camera-free (`plane_cache_ok(g)`); call sites gate on that."""
     import jax
     import jax.numpy as jnp
 
     from ..models.triplane import TriPlaneGenerator
 
-    key = (id(g), repr(opts), seed, vb)
+    key = (id(g), repr(opts), seed, vb, from_planes)
     if key not in _RENDER_JIT:
 
-        @jax.jit
-        def render(variables, elevations, azimuths, fovs, cond):
+        def _xin(elevations, azimuths, fovs, cond):
             cond_b = jax.tree_util.tree_map(
                 lambda a: jnp.broadcast_to(a, (vb,) + a.shape[1:]), cond
             )
-            xin = {
+            return {
                 "elevations": elevations,
                 "azimuths": azimuths,
                 "fovs": fovs,
                 "cond": cond_b,
-                "seeds": [seed] * vb,
                 **opts,
             }
-            out = g.apply(
-                variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
-            )
-            return {
-                k: out[k] for k in ("image", "image_xyz", "image_weights")
-            }
+
+        if from_planes:
+
+            @jax.jit
+            def render(variables, elevations, azimuths, fovs, cond, ws,
+                       planes):
+                xin = _xin(elevations, azimuths, fovs, cond)
+                xin["ws"] = jnp.broadcast_to(ws, (vb,) + ws.shape[1:])
+                xin["_planes"] = jnp.broadcast_to(
+                    planes, (vb,) + planes.shape[1:]
+                )
+                out = g.apply(
+                    variables, xin, method=TriPlaneGenerator.f,
+                    noise_mode="const",
+                )
+                return {
+                    k: out[k] for k in ("image", "image_xyz", "image_weights")
+                }
+
+        else:
+
+            @jax.jit
+            def render(variables, elevations, azimuths, fovs, cond):
+                xin = _xin(elevations, azimuths, fovs, cond)
+                xin["seeds"] = [seed] * vb
+                out = g.apply(
+                    variables, xin, method=TriPlaneGenerator.f,
+                    noise_mode="const",
+                )
+                return {
+                    k: out[k] for k in ("image", "image_xyz", "image_weights")
+                }
 
         _RENDER_JIT[key] = render
+    return _RENDER_JIT[key]
+
+
+def plane_cache_ok(g):
+    """Planes are view-independent iff the mapping ignores the camera
+    (c_gen_conditioning_zero, the flagship eval default) — then one
+    backbone pass serves every view of a subject, output-identically."""
+    return bool(g.rk.get("c_gen_conditioning_zero", False))
+
+
+def _get_planes_jit(g, seed):
+    """Jitted once-per-portrait (ws, triplanes) for the plane-reusing view
+    renders: seeds->z (host), single-z mapping (identical to G.f's
+    broadcast shortcut), backbone plane synthesis."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..cameras import camera_label
+    from ..models.triplane import TriPlaneGenerator, seeds_to_z
+
+    key = (id(g), seed, "_planes")
+    if key not in _RENDER_JIT:
+        z = jnp.asarray(seeds_to_z([seed], g.z_dim))
+        # camera label is irrelevant under c_gen_conditioning_zero (zeroed
+        # inside mapping) — pass the canonical front label like G.f would
+        c0 = jnp.asarray(
+            np.tile(np.asarray(camera_label(0.0, 0.0, 1.0, 30.0)), (1, 1))
+        )
+
+        @jax.jit
+        def planes_fn(variables, cond):
+            ws = g.apply(variables, z, c0, cond,
+                         method=TriPlaneGenerator.mapping)
+            planes = g.apply(variables, ws, cond, noise_mode="const",
+                             method=TriPlaneGenerator._planes_from_ws)
+            return ws, planes
+
+        _RENDER_JIT[key] = planes_fn
     return _RENDER_JIT[key]
 
 
@@ -202,7 +271,11 @@ def main(argv=None):
         # pipeline without per-view host syncs
         views = EVAL_VIEWS + spin
         vb = min(args.view_batch, len(views))
-        render = _get_render_jit(g, opts, args.seed, vb)
+        cache_planes = plane_cache_ok(g)
+        render = _get_render_jit(g, opts, args.seed, vb,
+                                 from_planes=cache_planes)
+        if cache_planes:  # one backbone pass per portrait, not per batch
+            ws_pl = _get_planes_jit(g, args.seed)(variables, cond)
         for i in range(0, len(views), vb):
             chunk = views[i : i + vb]
             cc = chunk + [chunk[-1]] * (vb - len(chunk))
@@ -212,6 +285,7 @@ def main(argv=None):
                 jnp.asarray([float(c[3]) for c in cc]),
                 jnp.asarray([float(c[4]) for c in cc]),
                 cond,
+                *(ws_pl if cache_planes else ()),
             )
             imgs = np.asarray(out["image"])
             xyza = np.concatenate(

@@ -127,14 +127,24 @@ def grid_sample_2d_points_packed(packed, points, align_corners=False):
     by = jnp.clip(iy0, -1, H - 1) + 1
     base = (jnp.arange(Np, dtype=jnp.int32) * (Hp1 * Wp1))[:, None]
     lin = base + by * Wp1 + bx
-    rows = jnp.take(flat, lin.reshape(-1), axis=0).reshape(Np, P, 4, C)
+    rows = jnp.take(flat, lin.reshape(-1), axis=0)  # [Np*P, 4C]
 
-    w = jnp.stack(
-        [(1 - wx1) * (1 - wy1), wx1 * (1 - wy1), (1 - wx1) * wy1, wx1 * wy1],
-        axis=-1,
-    )
-    w = jnp.where(inb[..., None], w, 0.0).astype(dtype)
-    return jnp.sum(rows * w[..., None], axis=2)
+    # corner reduction via 32-lane-aligned slices of the gathered row —
+    # NOT a (..., 4, C) reshape: splitting the 128-lane minor dim forces a
+    # physical relayout copy (measured ~4-5 ms/call per instance at the
+    # flagship working set, 4 instances ≈ 17% of the eval forward;
+    # scripts/profile_forward.py). Per-row scalar weights broadcast free
+    # along lanes, so the whole reduction fuses into one VPU kernel.
+    mask = inb.astype(jnp.float32)
+    wx1f = wx1 * mask
+    wx0f = (1 - wx1) * mask
+    w00 = (wx0f * (1 - wy1)).reshape(-1, 1).astype(dtype)
+    w01 = (wx1f * (1 - wy1)).reshape(-1, 1).astype(dtype)
+    w10 = (wx0f * wy1).reshape(-1, 1).astype(dtype)
+    w11 = (wx1f * wy1).reshape(-1, 1).astype(dtype)
+    out = (rows[:, :C] * w00 + rows[:, C: 2 * C] * w01
+           + rows[:, 2 * C: 3 * C] * w10 + rows[:, 3 * C:] * w11)
+    return out.reshape(Np, P, C)
 
 
 def grid_sample_2d(input, grid, padding_mode="zeros", align_corners=False):

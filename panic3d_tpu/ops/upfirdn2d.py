@@ -3,12 +3,12 @@
 Role of the reference CUDA op pack `src/torch_utils/ops/upfirdn2d.{cpp,cu,py}`
 (semantics defined by `_upfirdn2d_ref`, upfirdn2d.py:169-213). Instead of a
 hand-written kernel, the whole pipeline (zero-insert upsample, pad/crop, FIR
-correlate, decimate) is expressed as a single depthwise
-``lax.conv_general_dilated`` call: ``lhs_dilation`` performs the zero
-insertion, the conv padding performs pad/crop (negative padding = crop), and
-``window_strides`` performs the decimation. XLA maps this onto the TPU
-convolution units and fuses surrounding elementwise ops, so no Pallas kernel
-is needed for this op.
+correlate, decimate) is lowered per case (measured dispatch, see
+``_depthwise_fir``): resampling uses one depthwise
+``lax.conv_general_dilated`` (``lhs_dilation`` zero-inserts, conv padding
+pads/crops — negative padding = crop — and ``window_strides`` decimates);
+pure small-filter blurs use an unrolled shifted-slice sum that XLA fuses
+into a single VPU kernel. No Pallas kernel is needed for this op.
 
 Layout is NCHW to match the reference API; XLA's layout assignment picks the
 TPU-friendly physical layout.
@@ -75,13 +75,20 @@ def setup_filter(f, normalize=True, flip_filter=False, gain=1, separable=None):
     return f
 
 
-def _depthwise_fir(x, f2d, up, down, pad, channels):
-    """One depthwise conv doing zero-insert upsample + pad/crop + FIR + decimate.
+# Per-call unroll budget for the slice-based paths (taps_h * taps_w terms).
+# StyleGAN2/EG3D filters are 4-tap separable (16 terms as outer products);
+# StyleGAN3's long Kaiser filters exceed this and take the conv fallback.
+_MAX_UNROLL_TERMS = 64
 
-    ``lhs_dilation`` yields size (H-1)*up+1 (no trailing zeros), while the
-    reference zero-insert yields H*up; the (up-1) missing trailing zeros are
-    folded into the trailing pad so outputs match element-for-element.
-    """
+# bench override: None = auto dispatch, or one of "conv"/"unroll"/"poly"
+# (scripts/bench_upfirdn.py flips this to compare lowerings in isolation)
+FORCE_IMPL = None
+
+
+def _fir_conv(x, f2d, up, down, pad, channels):
+    """Depthwise ``conv_general_dilated``: ``lhs_dilation`` zero-inserts,
+    conv padding pads/crops, ``window_strides`` decimates. One channel per
+    group — a poor MXU contraction, kept for long filters only."""
     upx, upy = up
     downx, downy = down
     px0, px1, py0, py1 = pad
@@ -98,6 +105,134 @@ def _depthwise_fir(x, f2d, up, down, pad, channels):
         feature_group_count=channels,
         precision=jax.lax.Precision.HIGHEST,
     )
+
+
+def _fir_unrolled(x, f2d, up, down, pad):
+    """Unrolled sum of shifted (strided for down>1) slices over the
+    zero-inserted grid — pure VPU work XLA fuses into one kernel.
+    fp32 accumulation to match the conv path's HIGHEST precision."""
+    upx, upy = up
+    downx, downy = down
+    px0, px1, py0, py1 = pad
+    fh, fw = int(f2d.shape[0]), int(f2d.shape[1])
+    n, c, h, w = x.shape
+    # zero-insert upsample to exactly H*up (incl. trailing zeros, like the
+    # reference's zero-insert; the conv path folds them into pad instead)
+    if upy > 1 or upx > 1:
+        x = x[:, :, :, None, :, None]
+        x = jnp.pad(
+            x, ((0, 0), (0, 0), (0, 0), (0, upy - 1), (0, 0), (0, upx - 1))
+        )
+        x = x.reshape(n, c, h * upy, w * upx)
+    # pad (positive) / crop (negative) on the upsampled grid
+    x = jnp.pad(
+        x,
+        ((0, 0), (0, 0), (max(py0, 0), max(py1, 0)),
+         (max(px0, 0), max(px1, 0))),
+    )
+    x = x[
+        :, :,
+        max(-py0, 0): x.shape[2] - max(-py1, 0),
+        max(-px0, 0): x.shape[3] - max(-px1, 0),
+    ]
+    hp, wp = x.shape[2], x.shape[3]
+    oh = (hp - fh) // downy + 1
+    ow = (wp - fw) // downx + 1
+    f32 = f2d.astype(jnp.float32)
+    acc = None
+    for a in range(fh):
+        for b in range(fw):
+            sl = x[
+                :, :,
+                a: a + (oh - 1) * downy + 1: downy,
+                b: b + (ow - 1) * downx + 1: downx,
+            ].astype(jnp.float32)
+            term = f32[a, b] * sl
+            acc = term if acc is None else acc + term
+    return acc.astype(x.dtype)
+
+
+def _fir_poly_up(x, f2d, up, pad):
+    """Polyphase upsampling FIR (down == 1): each of the up_y*up_x output
+    phases is a plain contiguous slice multiply-add over the ORIGINAL grid
+    (no zero-inserted intermediate, no strided lane access), interleaved
+    once at the end by a stack+reshape. fp32 accumulation."""
+    upx, upy = up
+    px0, px1, py0, py1 = pad
+    fh, fw = int(f2d.shape[0]), int(f2d.shape[1])
+    n, c, h, w = x.shape
+    oh = h * upy + py0 + py1 - fh + 1
+    ow = w * upx + px0 + px1 - fw + 1
+    my = -(-oh // upy)  # per-phase output length (ceil)
+    mx = -(-ow // upx)
+
+    def phase_info(r, u, p0, k):
+        # taps of output phase r: f[k0], f[k0+u], ...; source offset s
+        k0 = (p0 - r) % u
+        nj = max(0, -(-(k - k0) // u))
+        s = (r + k0 - p0) // u
+        return k0, nj, s
+
+    ys = [phase_info(r, upy, py0, fh) for r in range(upy)]
+    xs = [phase_info(r, upx, px0, fw) for r in range(upx)]
+    # one shared pad of x covering every phase's source index range
+    ly = max(max(0, -s) for _, nj, s in ys)
+    lx = max(max(0, -s) for _, nj, s in xs)
+    ry_pad = max(max(0, (my - 1) + (nj - 1) + s - (h - 1)) if nj else 0
+                 for _, nj, s in ys)
+    rx_pad = max(max(0, (mx - 1) + (nj - 1) + s - (w - 1)) if nj else 0
+                 for _, nj, s in xs)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (ly, ry_pad), (lx, rx_pad)))
+    f32 = f2d.astype(jnp.float32)
+
+    rows = []
+    for k0y, njy, sy in ys:
+        row = []
+        for k0x, njx, sx in xs:
+            acc = None
+            for j in range(njy):
+                for i in range(njx):
+                    a = ly + sy + j
+                    b = lx + sx + i
+                    sl = xp[:, :, a: a + my, b: b + mx].astype(jnp.float32)
+                    term = f32[k0y + upy * j, k0x + upx * i] * sl
+                    acc = term if acc is None else acc + term
+            if acc is None:
+                acc = jnp.zeros((n, c, my, mx), jnp.float32)
+            row.append(acc)
+        # phases along a new minor axis -> (n, c, my, mx, upx)
+        rows.append(row[0] if upx == 1 else jnp.stack(row, axis=-1))
+    y = rows[0][:, :, :, None] if upy == 1 else jnp.stack(rows, axis=3)
+    # (n, c, my, upy, mx[, upx]) -> (n, c, my*upy, mx*upx)
+    y = y.reshape(n, c, my * upy, mx * upx)
+    return y[:, :, :oh, :ow].astype(x.dtype)
+
+
+def _depthwise_fir(x, f2d, up, down, pad, channels):
+    """Zero-insert upsample + pad/crop + FIR correlate + decimate.
+
+    Dispatch (measured on v5e, scripts/bench_upfirdn.py, floor-subtracted):
+    resampling (up>1 or down>1) keeps the depthwise conv — XLA's conv
+    emitter handles lhs_dilation/strides well (~0.4-1.2 ms at SR shapes),
+    while slice lowerings pay a strided-lane relayout storm (up to 24 ms).
+    Pure filtering (up=down=1, small filter) uses the unrolled slice sum —
+    plain shifted slices fuse into one VPU kernel and beat the one-channel-
+    per-group conv ~2x at 512² (0.92 vs 1.73 ms).
+    """
+    fh, fw = int(f2d.shape[0]), int(f2d.shape[1])
+    impl = FORCE_IMPL
+    if impl is None:
+        if fh * fw > _MAX_UNROLL_TERMS:
+            impl = "conv"
+        elif up == (1, 1) and down == (1, 1):
+            impl = "unroll"
+        else:
+            impl = "conv"
+    if impl == "poly" and down == (1, 1):
+        return _fir_poly_up(x, f2d, up, pad)
+    if impl == "unroll":
+        return _fir_unrolled(x, f2d, up, down, pad)
+    return _fir_conv(x, f2d, up, down, pad, channels)
 
 
 def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1):

@@ -326,3 +326,39 @@ def test_fused_recon_matches_separate_phases():
     )(vars_G["params"])
     gsum = sum(float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(grads))
     assert np.isfinite(gsum) and gsum > 0
+
+
+# ---------------------------------------------------------------------------
+# plane-cached eval renders: one backbone pass per portrait, output-identical
+
+def test_plane_cached_render_matches_full():
+    """With a camera-free mapping (c_gen_conditioning_zero) the cached
+    (ws, planes) render path must reproduce the full per-batch forward."""
+    from panic3d_tpu.data.dataset import synthetic_batch
+    from panic3d_tpu.eval.generate import (_get_planes_jit, _get_render_jit,
+                                           plane_cache_ok)
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+
+    g = configs.tiny()
+    assert plane_cache_ok(g)
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_batch(bs=1, size=64, chonk_ch=16, feat_dim=32))
+    cond = batch["cond"]
+    variables = g.init(
+        {"params": jax.random.PRNGKey(0)},
+        {"seeds": [7], "elevations": jnp.zeros(1), "azimuths": jnp.zeros(1),
+         "cond": cond},
+        method=TriPlaneGenerator.f, noise_mode="const")
+
+    el = jnp.asarray([0.0, 10.0])
+    az = jnp.asarray([0.0, 90.0])
+    fovs = jnp.asarray([30.0, -1.0])  # pinhole + ortho in one batch
+    full = _get_render_jit(g, {}, 7, 2)(variables, el, az, fovs, cond)
+    ws, planes = _get_planes_jit(g, 7)(variables, cond)
+    cached = _get_render_jit(g, {}, 7, 2, from_planes=True)(
+        variables, el, az, fovs, cond, ws, planes)
+    for k in full:
+        # tolerance: the two jit graphs fuse differently, so fp32 rounding
+        # differs in the last bits; observed max |diff| ~5e-5 on O(1) values
+        np.testing.assert_allclose(
+            np.asarray(cached[k]), np.asarray(full[k]), rtol=5e-4, atol=5e-4)
