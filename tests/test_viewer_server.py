@@ -31,9 +31,12 @@ def server():
 
 
 def _render(base, **req):
-    r = urllib.request.urlopen(
-        urllib.request.Request(base + "/render",
-                               data=json.dumps(req).encode()), timeout=600)
+    try:
+        r = urllib.request.urlopen(
+            urllib.request.Request(base + "/render",
+                                   data=json.dumps(req).encode()), timeout=600)
+    except urllib.error.HTTPError as e:  # surface the server-side error text
+        raise AssertionError(f"{req} -> {e.code}: {e.read().decode()}") from e
     assert r.status == 200
     return r.read()
 
@@ -72,3 +75,62 @@ def test_viewer_server_end_to_end(server):
     # layer viewer widget: every channel renders
     for ch in ("image_raw", "image_depth", "image_weights"):
         _decode(_render(server, seed=0, channel=ch))
+
+
+def test_viewer_meta_and_widgets(server):
+    # /meta drives the browser widgets: num_ws bound for stylemix, layer list
+    meta = json.loads(urllib.request.urlopen(server + "/meta",
+                                             timeout=60).read())
+    assert meta["num_ws"] > 0
+    names = [l["name"] for l in meta["layers"]]
+    assert "b4_x" in names and any(n.endswith("_img") for n in names)
+
+    base = _decode(_render(server, seed=0))
+
+    # stylemix widget (viz/renderer.py:300-331): empty index set is identity
+    # regardless of mix seed; enabling ws slots changes the image
+    same = _decode(_render(server, seed=0, stylemix_seed=7, stylemix_idx=[]))
+    np.testing.assert_array_equal(base, same)
+    mixed = _decode(_render(server, seed=0, stylemix_seed=7,
+                            stylemix_idx=list(range(meta["num_ws"] // 2,
+                                                    meta["num_ws"]))))
+    assert not np.array_equal(base, mixed)
+    # out-of-range indices are dropped (renderer.py:329)
+    same2 = _decode(_render(server, seed=0, stylemix_seed=7,
+                            stylemix_idx=[meta["num_ws"] + 3, -1]))
+    np.testing.assert_array_equal(base, same2)
+
+    # render_depth_sample_widget: a different sample count still renders
+    # (shape-determining -> separate cached jit) and changes the image
+    halved = _decode(_render(server, seed=0, depth_mult=0.5,
+                             depth_imp_mult=0.5))
+    assert halved.shape == base.shape
+    assert not np.array_equal(base, halved)
+
+    # layer widget: a backbone intermediate renders as a 3-channel slice
+    feat = _decode(_render(server, seed=0, layer=names[0], base_channel=1))
+    assert feat.ndim == 3
+    # a different base channel selects different features
+    feat2 = _decode(_render(server, seed=0, layer=names[0], base_channel=5))
+    assert not np.array_equal(feat, feat2)
+
+    # conditioning upload: a new portrait changes the conditioned render
+    from PIL import Image
+
+    buf = io.BytesIO()
+    rng = np.random.RandomState(3)
+    Image.fromarray(rng.randint(0, 255, (32, 32, 3), np.uint8)).save(
+        buf, format="PNG")
+    r = urllib.request.urlopen(
+        urllib.request.Request(server + "/cond", data=buf.getvalue()),
+        timeout=60)
+    assert json.loads(r.read())["ok"]
+    reconditioned = _decode(_render(server, seed=0))
+    assert not np.array_equal(base, reconditioned)
+
+    # performance widget: the render-time header rides every PNG response
+    r = urllib.request.urlopen(
+        urllib.request.Request(server + "/render",
+                               data=json.dumps({"seed": 0}).encode()),
+        timeout=600)
+    assert float(r.headers["X-Render-Seconds"]) > 0
