@@ -139,18 +139,35 @@ render();
 </script></body></html>"""
 
 
+def _mixed_ws(m, z, z_mix, mix_mask, psi, cond):
+    """Mapping + stylemix: replace the enabled ws slots with the mix seed's
+    ws (viz/renderer.py:300-331). Shared by the render and layer-capture
+    paths so stylemix semantics cannot drift between them."""
+    import jax.numpy as jnp
+
+    c0 = jnp.zeros((z.shape[0], m.c_dim), jnp.float32)
+    ws0 = m.mapping(z, c0, cond, truncation_psi=psi)
+    ws1 = m.mapping(z_mix, c0, cond, truncation_psi=psi)
+    return jnp.where(mix_mask[None, :, None], ws1, ws0)
+
+
 class ViewerBackend:
     """Cached jitted renderers behind the HTTP handlers (testable without
-    sockets)."""
+    sockets).
 
-    def __init__(self, g, variables, cond):
+    resnet: optional ResnetFeatureExtractorPCA — when present, portrait
+    uploads recompute `resnet_chonk` from the new image (the generate.py:242
+    conditioning path); without it the chonk is zeroed so renders never mix
+    a new portrait with stale features."""
+
+    def __init__(self, g, variables, cond, resnet=None):
         self.g = g
         self.variables = variables
         self.cond = cond
+        self.resnet = resnet
         self._fns = {}        # (depth_mult, imp_mult) -> jitted render
         self._layer_fns = {}  # (lvl, which) -> jitted capture
         self._lock = threading.Lock()  # one chip; serialize renders
-        self.last_render_s = 0.0
 
     # -- meta ---------------------------------------------------------------
 
@@ -206,12 +223,7 @@ class ViewerBackend:
         import jax.numpy as jnp
 
         def run(m, z, z_mix, mix_mask, elevation, azimuth, fov, psi, cond):
-            c0 = jnp.zeros((z.shape[0], m.c_dim), jnp.float32)
-            ws0 = m.mapping(z, c0, cond, truncation_psi=psi)
-            ws1 = m.mapping(z_mix, c0, cond, truncation_psi=psi)
-            # stylemix_widget semantics: replace the enabled ws slots with
-            # the mix seed's ws (viz/renderer.py:329-331)
-            ws = jnp.where(mix_mask[None, :, None], ws1, ws0)
+            ws = _mixed_ws(m, z, z_mix, mix_mask, psi, cond)
             xin = {
                 "ws": ws,
                 "elevations": elevation[None],
@@ -249,10 +261,7 @@ class ViewerBackend:
         import jax.numpy as jnp
 
         def run(m, z, z_mix, mix_mask, psi, cond, base_channel):
-            c0 = jnp.zeros((z.shape[0], m.c_dim), jnp.float32)
-            ws0 = m.mapping(z, c0, cond, truncation_psi=psi)
-            ws1 = m.mapping(z_mix, c0, cond, truncation_psi=psi)
-            ws = jnp.where(mix_mask[None, :, None], ws1, ws0)
+            ws = _mixed_ws(m, z, z_mix, mix_mask, psi, cond)
             _, ximgs = m.backbone.synthesis(
                 ws, cond, return_more=True, noise_mode="const")
             feat = ximgs[lvl][0 if which == "x" else 1].astype(jnp.float32)
@@ -280,7 +289,9 @@ class ViewerBackend:
                    psi=1.0, channel="image", crop=None, cull=None,
                    stylemix_seed=None, stylemix_idx=(),
                    depth_mult=1.0, depth_imp_mult=1.0,
-                   layer=None, base_channel=0, normalize=True) -> bytes:
+                   layer=None, base_channel=0, normalize=True):
+        """Returns (png_bytes, render_seconds) — timing per request, so
+        concurrent requests cannot report each other's device time."""
         import jax.numpy as jnp
         from PIL import Image
 
@@ -308,7 +319,7 @@ class ViewerBackend:
                     jnp.float32(azimuth), jnp.float32(fov), jnp.float32(psi),
                     self.cond, crop=crop, cull=cull)
                 img = np.asarray(out[channel][0], np.float32)
-            self.last_render_s = time.perf_counter() - t0
+            render_s = time.perf_counter() - t0
 
         if img.shape[0] == 1:  # depth / weights -> normalized grayscale
             img = np.repeat(img / max(float(img.max()), 1e-6), 3, axis=0)
@@ -318,7 +329,7 @@ class ViewerBackend:
         arr = (np.clip(img, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
         buf = io.BytesIO()
         Image.fromarray(arr).save(buf, format="PNG")
-        return buf.getvalue()
+        return buf.getvalue(), render_s
 
     # -- conditioning ---------------------------------------------------------------
 
@@ -327,21 +338,35 @@ class ViewerBackend:
         composited over white and the image resized to the backend's cond
         shape (the shapes the jitted renderers were traced with) — the
         ecrutileE conditioning contract is white-bg [0,1] RGB
-        (ecrutileE.py:350-356 / generate.py:90-96)."""
+        (ecrutileE.py:350-356 / generate.py:90-96). `resnet_chonk` is
+        recomputed from the new portrait when an extractor is attached
+        (black-bg composite, katepca contract — generate.py:242) and zeroed
+        otherwise, so renders never pair the new portrait with the previous
+        one's features."""
+        import jax.numpy as jnp
         from PIL import Image
 
         res = int(self.cond["image_ortho_front"].shape[-1])
         im = Image.open(io.BytesIO(image_bytes)).convert("RGBA")
-        bg = Image.new("RGBA", im.size, (255, 255, 255, 255))
-        im = Image.alpha_composite(bg, im).convert("RGB")
-        im = im.resize((res, res), Image.LANCZOS)
-        arr = np.asarray(im, np.float32).transpose(2, 0, 1) / 255.0
-        import jax.numpy as jnp
 
+        def composite(rgb):
+            bg = Image.new("RGBA", im.size, rgb + (255,))
+            flat = Image.alpha_composite(bg, im).convert("RGB")
+            flat = flat.resize((res, res), Image.LANCZOS)
+            return np.asarray(flat, np.float32).transpose(2, 0, 1) / 255.0
+
+        front = composite((255, 255, 255))
+        ch = int(self.cond["resnet_chonk"].shape[1])
+        if self.resnet is not None:
+            chonk = self.resnet(jnp.asarray(composite((0, 0, 0))))[None, 0, :ch]
+        else:
+            chonk = jnp.zeros_like(self.cond["resnet_chonk"])
         with self._lock:
             self.cond = dict(self.cond)
-            self.cond["image_ortho_front"] = jnp.asarray(arr[None])
-        return {"ok": True, "resolution": res}
+            self.cond["image_ortho_front"] = jnp.asarray(front[None])
+            self.cond["resnet_chonk"] = chonk
+        return {"ok": True, "resolution": res,
+                "resnet_features": self.resnet is not None}
 
 
 def make_handler(backend: ViewerBackend):
@@ -349,13 +374,12 @@ def make_handler(backend: ViewerBackend):
         def log_message(self, *a):  # quiet
             pass
 
-        def _send(self, code, body, ctype):
+        def _send(self, code, body, ctype, render_s=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
-            if code == 200 and ctype == "image/png":
-                self.send_header("X-Render-Seconds",
-                                 f"{backend.last_render_s:.4f}")
+            if render_s is not None:  # performance_widget role
+                self.send_header("X-Render-Seconds", f"{render_s:.4f}")
             self.end_headers()
             self.wfile.write(body)
 
@@ -375,7 +399,7 @@ def make_handler(backend: ViewerBackend):
                     self._send(200, body, "application/json")
                     return
                 req = json.loads(raw or b"{}")
-                png = backend.render_png(
+                png, render_s = backend.render_png(
                     seed=req.get("seed", 0),
                     elevation=req.get("elevation", 0.0),
                     azimuth=req.get("azimuth", 0.0),
@@ -395,17 +419,34 @@ def make_handler(backend: ViewerBackend):
             except Exception as e:  # surface render errors to the UI
                 self._send(500, str(e).encode(), "text/plain")
                 return
-            self._send(200, png, "image/png")
+            self._send(200, png, "image/png", render_s=render_s)
 
     return Handler
 
 
-def build_backend(ckpt=None, tiny=False):
+def _load_resnet(path):
+    """Converted resnet+PCA checkpoint dir -> ResnetFeatureExtractorPCA
+    (same layout eval/generate._load_resnet consumes: state.msgpack +
+    pca.npz)."""
+    import os
+
+    from ..models.resnet import ResNet50, ResnetFeatureExtractorPCA
+    from ..runtime.checkpoint import load_checkpoint
+
+    variables, _ = load_checkpoint(path)
+    pca = np.load(os.path.join(path, "pca.npz"))
+    return ResnetFeatureExtractorPCA(
+        ResNet50(), variables, pca["components"], pca["mean"], 512)
+
+
+def build_backend(ckpt=None, tiny=False, resnet=None):
     import jax
     import jax.numpy as jnp
 
     from .. import configs
     from ..models.triplane import TriPlaneGenerator
+
+    resnet_fn = _load_resnet(resnet) if resnet else None
 
     if ckpt:
         from ..runtime.checkpoint import (extract_generator_variables,
@@ -440,18 +481,22 @@ def build_backend(ckpt=None, tiny=False):
                 "azimuths": jnp.zeros(1), "cond": cond}
         variables = g.init({"params": jax.random.PRNGKey(0)}, xin0,
                            method=TriPlaneGenerator.f, noise_mode="const")
-    return ViewerBackend(g, variables, cond)
+    return ViewerBackend(g, variables, cond, resnet=resnet_fn)
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default=None)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--resnet", default=None,
+                    help="converted resnet+PCA dir: portrait uploads then "
+                         "recompute resnet_chonk features")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8642)
     args = ap.parse_args(argv)
 
-    backend = build_backend(ckpt=args.ckpt, tiny=args.tiny)
+    backend = build_backend(ckpt=args.ckpt, tiny=args.tiny,
+                            resnet=args.resnet)
     srv = ThreadingHTTPServer((args.host, args.port), make_handler(backend))
     print(f"viewer at http://{args.host}:{args.port}/ (first render compiles)")
     srv.serve_forever()

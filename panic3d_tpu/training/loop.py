@@ -65,6 +65,13 @@ class TrainConfig:
     # average (update equals the full-batch update); True reproduces the
     # reference semantics so its LR/batch_gpu recipes transfer verbatim.
     accum_sum: bool = False
+    # Rematerialize phase losses in the backward pass. The r3 roofline
+    # (PARITY.md) shows every G phase pinned to the HBM-bandwidth wall at
+    # 6-8% MFU: recompute is nearly free there, while forward-residual
+    # reads/writes are the wall. None = store residuals (XLA default);
+    # 'full' = jax.checkpoint, save nothing; 'dots' = save matmul/conv
+    # outputs only (dots_with_no_batch_dims_saveable policy).
+    remat: Optional[str] = None
     g_lr: float = 0.0025
     d_lr: float = 0.002
     betas: Tuple[float, float] = (0.0, 0.99)
@@ -141,6 +148,10 @@ def build_train_step(
         averaged so the accumulated update equals the full-batch update for
         per-sample-separable losses.
         """
+        if train_cfg.remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if train_cfg.remat == "dots" else None)
+            phase_fn = jax.checkpoint(phase_fn, policy=policy)
         grad_fn = jax.value_and_grad(phase_fn, has_aux=True)
         if n_micro == 1:
             (_, stats), grads = grad_fn(params, batch, gen_z, gen_c, key)

@@ -128,6 +128,22 @@ class LossConfig:
         ))
 
 
+def active_recon_views(c: "LossConfig") -> tuple:
+    """Ortho recon views with any active lambda (training_loop_v0.py:221-266
+    lambda gating). Single source of truth for which recon phases exist —
+    the trainer's phase list and the fused recon phase both derive from it."""
+    views = []
+    if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
+        views.append("front")
+    if (c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1
+            + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2) > 0:
+        views += ["left", "right"]
+    if (c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1
+            + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2) > 0:
+        views.append("back")
+    return tuple(views)
+
+
 def gaussian_blur_filter2d(img, blur_sigma, max_sigma: float = 0.0):
     """Progressive-blur filter: exp2(-(x/sigma)^2) taps (loss:183-187).
 
@@ -303,17 +319,7 @@ class OrthoCondLoss:
 
     def fused_recon_views(self):
         """Ortho views with any active lambda — the fused phase's set."""
-        c = self.cfg
-        views = []
-        if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
-            views.append("front")
-        if (c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1
-                + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2) > 0:
-            views += ["left", "right"]
-        if (c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1
-                + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2) > 0:
-            views.append("back")
-        return tuple(views)
+        return active_recon_views(self.cfg)
 
     def g_cond_fused_loss(self, params_G, batch, z, key):
         """All active ortho recon views in ONE pass sharing ONE backbone

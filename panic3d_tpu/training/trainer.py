@@ -98,6 +98,10 @@ def parse_args(argv=None):
     ap.add_argument("--accum-sum", action="store_true",
                     help="reference grad-accumulation semantics: sum "
                          "micro-batch grads (effective step size x n_micro)")
+    ap.add_argument("--remat", default=None, choices=["full", "dots"],
+                    help="rematerialize phase losses in backward: trade "
+                         "recompute (cheap: phases are HBM-bound at 6-8% "
+                         "MFU) for forward-residual traffic/memory")
     # snapshot-time metric eval (training_loop_v0.py:487-498)
     ap.add_argument("--metrics", default="none",
                     help="comma list, e.g. fid50k_full; 'none' disables")
@@ -267,7 +271,7 @@ def main(argv=None):
         GANTrainState, TrainConfig, ada_update, build_train_step, init_state,
         phases_for_step,
     )
-    from .loss import LossConfig, OrthoCondLoss
+    from .loss import LossConfig, OrthoCondLoss, active_recon_views
     from .setup import init_lpips, make_loss
     from .stats import Collector, JsonlLogger
 
@@ -340,20 +344,32 @@ def main(argv=None):
         box_warp=g.rk["box_warp"],
     )
 
-    # which phases exist (training_loop_v0.py:221-266 lambda gating)
+    # which phases exist (training_loop_v0.py:221-266 lambda gating); the
+    # per-view lambda sums live in ONE place: loss.active_recon_views
     phases = ["Gmain"]
     c = loss_cfg
+    recon_views = active_recon_views(c)
     if args.fuse_recon:
         # the active ortho recon views fold into ONE shared-backbone phase
-        # (roofline-driven TPU option; one Adam step for the group)
-        if OrthoCondLoss(c, None, None, None, None, None).fused_recon_views():
+        # (roofline-driven TPU option; one Adam step for the group).
+        # g_cond_fused_loss maps every view's ws from the front camera,
+        # which only equals the per-phase objective when the mapping is
+        # camera-free — the flagship default.
+        if not (g.rk.get("c_gen_conditioning_zero", False)
+                or g.rk.get("c_scale", 1.0) == 0):
+            raise SystemExit(
+                "--fuse-recon requires c_gen_conditioning_zero (or "
+                "c_scale=0): with a camera-conditioned mapping the fused "
+                "phase would optimize a different objective than the "
+                "separate Gcond/Gside phases")
+        if recon_views:
             phases.append("Grecon-fused")
     else:
-        if c.lambda_gcond_lpips + c.lambda_gcond_l1 + c.lambda_gcond_alpha_l2 + c.lambda_gcond_depth_l2 > 0:
+        if "front" in recon_views:
             phases.append("Gcond")
-        if c.lambda_gcond_sides_lpips + c.lambda_gcond_sides_l1 + c.lambda_gcond_sides_alpha_l2 + c.lambda_gcond_sides_depth_l2 > 0:
+        if "left" in recon_views:
             phases += ["Gside-left", "Gside-right"]
-        if c.lambda_gcond_back_lpips + c.lambda_gcond_back_l1 + c.lambda_gcond_back_alpha_l2 + c.lambda_gcond_back_depth_l2 > 0:
+        if "back" in recon_views:
             phases.append("Gside-back")
     if c.lambda_gcond_rand_lpips + c.lambda_gcond_rand_l1 + c.lambda_gcond_rand_alpha_l2 + c.lambda_gcond_rand_depth_l2 > 0:
         phases.append("Grand")
@@ -369,6 +385,7 @@ def main(argv=None):
         batch_size=args.batch,
         batch_gpu=args.batch_gpu,
         accum_sum=args.accum_sum,
+        remat=args.remat,
         g_lr=args.glr,
         d_lr=args.dlr,
         ema_kimg=args.batch * 10 / 32,

@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--breakdown", action="store_true",
                     help="per-phase wall/FLOPs/bytes/MFU roofline table")
+    ap.add_argument("--remat", default=None, choices=["full", "dots"],
+                    help="rematerialize phase losses in backward "
+                         "(HBM-roofline experiment)")
     ap.add_argument("--fuse-recon", action="store_true",
                     help="one shared-backbone recon phase instead of "
                          "Gcond/Gside-* (the roofline-driven optimization)")
@@ -147,7 +150,7 @@ def main():
         lambda_gcond_rand_lpips=10.0,
     )
     loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const")
-    tcfg = TrainConfig(batch_size=bs)
+    tcfg = TrainConfig(batch_size=bs, remat=args.remat)
     state = init_state(vars_G, vars_D, tcfg)
     if args.fuse_recon:
         phases = ("Gmain", "Grecon-fused", "Grand", "Greg", "Dmain", "Dreg")

@@ -66,8 +66,13 @@ def main():
 
             t_up = (timed_total(loop(up2), x) - floor) / REPS
             t_f = (timed_total(loop(fir), x) - floor) / REPS
-            t_dn = (timed_total(loop(dn2), x) - floor) / REPS
-            line += f"  {impl}: up2={t_up:6.2f} f={t_f:6.2f} dn2={t_dn:6.2f}"
+            if impl == "poly":
+                # the poly lowering only exists for down==1 (ops/upfirdn2d.py
+                # dispatch); forcing it on dn2 would silently measure conv
+                line += f"  {impl}: up2={t_up:6.2f} f={t_f:6.2f} dn2=   n/a"
+            else:
+                t_dn = (timed_total(loop(dn2), x) - floor) / REPS
+                line += f"  {impl}: up2={t_up:6.2f} f={t_f:6.2f} dn2={t_dn:6.2f}"
             uf.FORCE_IMPL = None
         print(line, flush=True)
 

@@ -362,3 +362,78 @@ def test_plane_cached_render_matches_full():
         # differs in the last bits; observed max |diff| ~5e-5 on O(1) values
         np.testing.assert_allclose(
             np.asarray(cached[k]), np.asarray(full[k]), rtol=5e-4, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# remat: backward-pass rematerialization must not change the update
+
+def test_remat_update_equivalence():
+    """One multi-phase step with remat='full' produces the same parameter
+    update as the default residual-storing step (jax.checkpoint changes the
+    schedule, not the math). Models are built fp32 (num_fp16_res=0): the
+    bf16 blocks round differently when the forward is recomputed, which
+    would turn an exact-schedule check into a noise-tolerance check."""
+    from test_training_round2 import BS, SIZE
+    from panic3d_tpu.data.dataset import synthetic_batch
+    from panic3d_tpu.models.dual_discriminator import DualDiscriminator
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.training import (LossConfig, build_train_step,
+                                      init_state)
+    from panic3d_tpu.training.setup import init_lpips, make_loss
+
+    g = configs.tiny(
+        img_resolution=SIZE * 2,
+        backbone_resolution=32,
+        neural_rendering_resolution=16,
+        cond_mode="ortho_front.add_4.reschonk_add_16",
+        synthesis_kwargs=dict(channel_base=2048, channel_max=64,
+                              num_fp16_res=0),
+        rendering_kwargs=dict(
+            superresolution_module="training.superresolution.SuperresolutionHybrid2X",
+            depth_resolution=4, depth_resolution_importance=4,
+            box_warp=0.7, ray_start=0.5, ray_end=1.5,
+            white_back=True, use_triplane=True, render_dtype="float32",
+        ),
+    )
+    d = DualDiscriminator(
+        c_dim=25, img_resolution=SIZE * 2, img_channels=3,
+        channel_base=1024, channel_max=32, num_fp16_res=0,
+        epilogue_kwargs=dict(mbstd_group_size=1),
+    )
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_batch(bs=BS, size=SIZE * 2, chonk_ch=16,
+                                     feat_dim=32))
+    key = jax.random.PRNGKey(0)
+    xin = {"z": jnp.zeros((BS, g.z_dim)), "camera_params": batch["camera"],
+           "cond": batch["cond"]}
+    vars_G = g.init({"params": key, "noise": key}, xin,
+                    method=TriPlaneGenerator.f, noise_mode="const")
+    vars_D = d.init(
+        {"params": key},
+        {"image": batch["image"], "image_raw": jnp.zeros((BS, 3, 16, 16))},
+        batch["camera"], batch["cond"])
+
+    cfg = LossConfig(lambda_gcond_lpips=1.0, lambda_gcond_l1=1.0)
+    loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const",
+                     deterministic=True)
+    phases = ("Gmain", "Gcond", "Dmain")
+    results = {}
+    for remat in (None, "full"):
+        tcfg = TrainConfig(batch_size=BS, phases=phases, remat=remat)
+        state = init_state(vars_G, vars_D, tcfg)
+        step = build_train_step(loss, tcfg, g.z_dim, phases)
+        new_state, stats = jax.jit(step)(state, batch, jax.random.PRNGKey(1))
+        results[remat] = (new_state, stats)
+    base, base_stats = results[None]
+    rmt, rmt_stats = results["full"]
+    for k in base_stats:
+        np.testing.assert_allclose(float(rmt_stats[k]), float(base_stats[k]),
+                                   rtol=1e-4, atol=1e-5)
+    flat_b, _ = jax.flatten_util.ravel_pytree(base.vars_G["params"])
+    flat_r, _ = jax.flatten_util.ravel_pytree(rmt.vars_G["params"])
+    np.testing.assert_allclose(np.asarray(flat_r), np.asarray(flat_b),
+                               rtol=1e-4, atol=1e-5)
+    flat_db, _ = jax.flatten_util.ravel_pytree(base.vars_D["params"])
+    flat_dr, _ = jax.flatten_util.ravel_pytree(rmt.vars_D["params"])
+    np.testing.assert_allclose(np.asarray(flat_dr), np.asarray(flat_db),
+                               rtol=1e-4, atol=1e-5)
