@@ -73,3 +73,26 @@ class JsonlLogger:
 
     def close(self):
         self._f.close()
+
+
+class TensorboardLogger:
+    """TensorBoard event export (training_loop_v0.py:518-523 role).
+
+    Rides the torch SummaryWriter baked into this venv; constructed only
+    when the trainer is launched with --tensorboard, so runs without torch
+    installed are unaffected."""
+
+    def __init__(self, logdir: str):
+        from torch.utils.tensorboard import SummaryWriter
+
+        self._w = SummaryWriter(log_dir=logdir)
+
+    def write(self, collector: Collector, step: int):
+        for name, d in collector.as_dict().items():
+            self._w.add_scalar(name, d["mean"], global_step=step)
+            if d["num"] > 1:
+                self._w.add_scalar(f"{name}/std", d["std"], global_step=step)
+        self._w.flush()
+
+    def close(self):
+        self._w.close()

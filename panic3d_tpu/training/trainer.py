@@ -98,6 +98,9 @@ def parse_args(argv=None):
     ap.add_argument("--accum-sum", action="store_true",
                     help="reference grad-accumulation semantics: sum "
                          "micro-batch grads (effective step size x n_micro)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also export tick stats as TensorBoard events "
+                         "(training_loop_v0.py:518-523 role) to <run>/tb")
     ap.add_argument("--remat", default=None, choices=["full", "dots"],
                     help="rematerialize phase losses in backward: trade "
                          "recompute (cheap: phases are HBM-bound at 6-8% "
@@ -487,6 +490,11 @@ def main(argv=None):
 
     collector = Collector()
     logger = JsonlLogger(os.path.join(run_dir, "stats.jsonl")) if leader else None
+    tb = None
+    if leader and args.tensorboard:
+        from .stats import TensorboardLogger
+
+        tb = TensorboardLogger(os.path.join(run_dir, "tb"))
     total_steps = args.max_steps or (args.kimg * 1000 // args.batch)
     tick_interval = args.tick_steps or max(args.tick * 1000 // args.batch, 1)
     t_start = time.time()
@@ -551,6 +559,8 @@ def main(argv=None):
             )
             print(f"tick kimg={kimg:.1f} time={time.time()-t_start:.0f}s {msg}")
             logger.write(collector, kimg=kimg)
+            if tb is not None:
+                tb.write(collector, step=int(state.cur_nimg))
             collector.reset()
 
         if step_i % (tick_interval * args.snap) == 0 and step_i > 0:
@@ -591,6 +601,8 @@ def main(argv=None):
                     _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
 
     flush_pending()
+    if tb is not None:
+        tb.close()
     batch_queue.close()
     if save_thread is not None:
         save_thread.join()

@@ -290,7 +290,7 @@ def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
         "--name", "msmoke", "--tiny", "--synthetic", "--batch", "2",
         "--gamma", "1", "--max-steps", "3", "--tick-steps", "1",
         "--snap", "2", "--metrics", "fid_clip", "--metric-items", "4",
-        "--outdir", out,
+        "--tensorboard", "--outdir", out,
     ])
     run_dir = os.path.join(out, "msmoke")
     jl = os.path.join(run_dir, "metric-fid_clip.jsonl")
@@ -298,3 +298,8 @@ def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
     rec = json.loads(open(jl).read().strip().splitlines()[-1])
     assert "results" in rec and "fid_clip" in rec["results"]
     assert np.isfinite(rec["results"]["fid_clip"])
+    # --tensorboard: tick stats also land as TB event files (<run>/tb,
+    # training_loop_v0.py:518-523 role)
+    tb_dir = os.path.join(run_dir, "tb")
+    assert os.path.isdir(tb_dir) and any(
+        "tfevents" in f for f in os.listdir(tb_dir)), os.listdir(run_dir)
