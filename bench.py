@@ -24,9 +24,29 @@ provenance, not a regression — absolute views/s is the headline number.
 
 import json
 import os
+import threading
 import time
 
 os.environ.setdefault("XLA_FLAGS", "")
+
+# Watchdog: the axon tunnel can wedge so hard that even jax.devices()
+# blocks forever inside a C call (SIGALRM handlers never run there); a
+# daemon thread + os._exit fails loudly instead of hanging the driver's
+# bench run. Override via BENCH_TIMEOUT (seconds).
+_bench_done = threading.Event()
+
+
+def _watchdog():
+    t = int(os.environ.get("BENCH_TIMEOUT", "3300"))
+    if not _bench_done.wait(timeout=t):
+        os.write(2, (
+            f"bench.py watchdog expired (BENCH_TIMEOUT={t}s): device init "
+            "or compile never completed - the TPU tunnel is likely wedged; "
+            "no metric emitted\n").encode())
+        os._exit(17)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -118,6 +138,7 @@ def main():
     mfu = _mfu(forward, params, xin, dt)
     if mfu:
         out.update(mfu)
+    _bench_done.set()  # metric computed; disarm the tunnel watchdog
     print(json.dumps(out))
 
 
