@@ -122,6 +122,52 @@ def parse_args(argv=None):
     ap.add_argument("--triplane-width", type=int, default=32)
     ap.add_argument("--backbone-resolution", type=int, default=256)
     ap.add_argument("--resolution", type=int, default=512)
+    # model capacity / shape (train_eclustrousC.py:239-264, 480-556)
+    ap.add_argument("--cbase-g", type=int, default=32768)
+    ap.add_argument("--cmax-g", type=int, default=512)
+    ap.add_argument("--cbase-d", type=int, default=32768)
+    ap.add_argument("--cmax-d", type=int, default=512)
+    ap.add_argument("--map-depth", type=int, default=2,
+                    help="mapping net layers (best-run default 2)")
+    ap.add_argument("--mbstd-group", type=int, default=4)
+    ap.add_argument("--sr-module", default=None,
+                    help="superresolution module override (default: pick "
+                         "by resolution, train_eclustrousC.py:397-404)")
+    ap.add_argument("--sr-channels-hidden", type=int, default=256)
+    ap.add_argument("--sr-noise-mode", default=None,
+                    choices=("random", "none"))
+    ap.add_argument("--decoder-lr-mul", type=float, default=1.0)
+    ap.add_argument("--use-triplane", type=int, default=1,
+                    help="1 = correct 3rd-plane rotation (renderer.py:45-49)")
+    ap.add_argument("--tanh-rgb-output", action="store_true")
+    ap.add_argument("--c-scale", type=float, default=1.0)
+    ap.add_argument("--c-noise", type=float, default=0.0,
+                    help="D pose-conditioning noise (disc_c_noise)")
+    # precision: the reference trains G fp32 / D+SR fp16x4 fearing fp16
+    # range; here the mixed dtype is bf16 (full fp32 range), so the backbone
+    # default stays bf16 — the HBM-roofline lever (PARITY.md). --fp32 or
+    # --g-num-fp16-res 0 restores reference numerics.
+    ap.add_argument("--g-num-fp16-res", type=int, default=4)
+    ap.add_argument("--d-num-fp16-res", type=int, default=4)
+    ap.add_argument("--sr-num-fp16-res", type=int, default=4)
+    ap.add_argument("--fp32", action="store_true",
+                    help="force fp32 everywhere (num_fp16_res=0 for G/D/SR)")
+    # loss extras (train_eclustrousC.py:239-264; lambda_adv_g/d are
+    # commented out in the reference CLI:171-172 — not ported)
+    ap.add_argument("--gpc-reg-fade-kimg", type=float, default=1000.0)
+    ap.add_argument("--density-reg-p-dist", type=float, default=0.004)
+    ap.add_argument("--density-reg-every", type=int, default=4,
+                    help="Greg lazy-reg interval (g_reg_interval)")
+    # neural-rendering resolution ramp (loss_orthocondA.py:214-218): the
+    # host recompiles the step per distinct resolution (shape-changing)
+    ap.add_argument("--neural-res-initial", type=int, default=64)
+    ap.add_argument("--neural-res-final", type=int, default=None)
+    ap.add_argument("--neural-res-fade-kimg", type=float, default=0.0)
+    ap.add_argument("--desc", default=None,
+                    help="run-dir suffix: <name>-<desc>")
+    ap.add_argument("--resume-discrim", default=None,
+                    help="snapshot dir whose discriminator params replace "
+                         "the fresh D (train_eclustrousC --resume_discrim)")
     ap.add_argument("--resume", default=None)
     ap.add_argument("--lpips-weights", default=None)
     ap.add_argument("--synthetic", action="store_true",
@@ -131,7 +177,10 @@ def parse_args(argv=None):
     ap.add_argument("--tick-steps", type=int, default=None,
                     help="override tick interval in STEPS (smoke tests)")
     ap.add_argument("--dry-run", action="store_true")
-    return ap.parse_args(argv)
+    args = ap.parse_args(argv)
+    if args.fp32:
+        args.g_num_fp16_res = args.d_num_fp16_res = args.sr_num_fp16_res = 0
+    return args
 
 
 def _snapshot_images(g, state, batch, snap_dir):
@@ -171,17 +220,46 @@ def build_models(args):
                               epilogue_kwargs=dict(mbstd_group_size=2))
         chonk_ch, feat_dim = 16, 32
     else:
+        rk = dict(
+            triplane_depth=args.triplane_depth,
+            c_scale=args.c_scale,
+            decoder_lr_mul=args.decoder_lr_mul,
+            use_triplane=bool(args.use_triplane),
+            tanh_rgb_output=args.tanh_rgb_output,
+            density_reg_p_dist=args.density_reg_p_dist,
+        )
+        if args.sr_module:
+            rk["superresolution_module"] = args.sr_module
+        if args.sr_noise_mode:
+            rk["superresolution_noise_mode"] = args.sr_noise_mode
         model_kwargs = dict(
             family="flagship",
             cond_mode=args.cond_mode,
             triplane_width=args.triplane_width,
             backbone_resolution=args.backbone_resolution,
             img_resolution=args.resolution,
-            rendering_kwargs=dict(triplane_depth=args.triplane_depth),
+            sr_channels_hidden=args.sr_channels_hidden,
+            sr_num_fp16_res=args.sr_num_fp16_res,
+            mapping_kwargs=dict(num_layers=args.map_depth),
+            # conv_clamp rides the precision flag (train_eclustrousC:554-556)
+            synthesis_kwargs=dict(channel_base=args.cbase_g,
+                                  channel_max=args.cmax_g,
+                                  num_fp16_res=args.g_num_fp16_res,
+                                  conv_clamp=(256 if args.g_num_fp16_res > 0
+                                              else None)),
+            neural_rendering_resolution=args.neural_res_initial,
+            rendering_kwargs=rk,
         )
         g = configs.flagship(**{k: v for k, v in model_kwargs.items()
                                 if k != "family"})
-        d = DualDiscriminator(c_dim=25, img_resolution=args.resolution)
+        d = DualDiscriminator(
+            c_dim=25, img_resolution=args.resolution,
+            channel_base=args.cbase_d, channel_max=args.cmax_d,
+            num_fp16_res=args.d_num_fp16_res,
+            conv_clamp=256 if args.d_num_fp16_res > 0 else None,
+            disc_c_noise=args.c_noise,
+            epilogue_kwargs=dict(mbstd_group_size=args.mbstd_group),
+        )
         chonk_ch, feat_dim = 512, 512
     return g, d, chonk_ch, feat_dim, model_kwargs
 
@@ -285,7 +363,8 @@ def main(argv=None):
     maybe_initialize_distributed()
     leader = is_leader()
 
-    run_dir = os.path.join(args.outdir, args.name)
+    run_name = args.name + (f"-{args.desc}" if args.desc else "")
+    run_dir = os.path.join(args.outdir, run_name)
     if leader:
         os.makedirs(run_dir, exist_ok=True)
         with open(os.path.join(run_dir, "training_options.json"), "w") as f:
@@ -295,7 +374,7 @@ def main(argv=None):
     # blur/gpc rampups and makes ADA react faster (train_eclustrousC.py:536-542).
     resume = args.resume or find_resume(run_dir)
     blur_init_sigma = args.blur_init_sigma
-    gpc_reg_fade_kimg = 1000.0
+    gpc_reg_fade_kimg = args.gpc_reg_fade_kimg
     ada_kimg = args.ada_kimg
     if resume:
         ada_kimg = 100.0
@@ -340,11 +419,16 @@ def main(argv=None):
         lambda_recon_depth_l2=args.lambda_recon_depth_l2,
         paste_params_mode=None if args.paste_params_mode == "none" else args.paste_params_mode,
         density_reg=args.density_reg,
+        density_reg_p_dist=args.density_reg_p_dist,
         pl_weight=args.pl_weight,
         pl_batch_shrink=args.pl_batch_shrink,
         pl_decay=args.pl_decay,
         reg_type=args.reg_type,
         box_warp=g.rk["box_warp"],
+        # ramp handled HOST-side: the jitted step always sees final=None
+        # (a traced ramp would be shape-changing under jit); see the step
+        # selection loop, which recompiles per distinct resolution
+        neural_rendering_resolution_initial=args.neural_res_initial,
     )
 
     # which phases exist (training_loop_v0.py:221-266 lambda gating); the
@@ -391,6 +475,7 @@ def main(argv=None):
         remat=args.remat,
         g_lr=args.glr,
         d_lr=args.dlr,
+        g_reg_interval=args.density_reg_every,
         ema_kimg=args.batch * 10 / 32,
         phases=tuple(phases),
     )
@@ -454,6 +539,14 @@ def main(argv=None):
         from ..runtime.checkpoint import load_train_state
         restored, _ = load_train_state(resume, state)
         state = restored
+    if args.resume_discrim:
+        # D-only warm start (train_eclustrousC --resume_discrim; loads the
+        # snapshot's discriminator over the fresh/resumed one)
+        print(f"resuming discriminator from {args.resume_discrim}")
+        from ..runtime.checkpoint import load_checkpoint as _lc
+        from flax.serialization import from_state_dict as _fsd
+        d_state, _ = _lc(args.resume_discrim)
+        state = state.replace(vars_D=_fsd(state.vars_D, d_state["vars_D"]))
 
     uses_lpips = any(
         getattr(loss_cfg, f) > 0 for f in dir(loss_cfg)
@@ -483,7 +576,30 @@ def main(argv=None):
         ray_shard = NamedSharding(mesh, P("data", "rays"))
     loss = make_loss(g, d, lpips_vars, loss_cfg, augment=args.aug != "noaug",
                      ray_sharding=ray_shard)
-    steps = {}  # phase-tuple -> compiled step
+    steps = {}  # (phase-tuple, neural_res) -> compiled step
+    losses_by_res = {args.neural_res_initial: loss}
+
+    def host_neural_res(step_i: int) -> int:
+        """Neural-rendering resolution ramp (loss_orthocondA.py:214-218),
+        resolved on the HOST: the resolution is shape-determining, so each
+        distinct value compiles its own step; the jitted loss always sees
+        final=None (a traced int() would fail under jit)."""
+        if args.neural_res_final is None:
+            return args.neural_res_initial
+        a = min(step_i * args.batch /
+                max(args.neural_res_fade_kimg * 1e3, 1e-8), 1.0)
+        return int(np.rint(args.neural_res_initial * (1 - a)
+                           + args.neural_res_final * a))
+
+    def loss_for_res(res: int):
+        if res not in losses_by_res:
+            losses_by_res[res] = make_loss(
+                g, d, lpips_vars,
+                dataclasses.replace(
+                    loss_cfg, neural_rendering_resolution_initial=res,
+                    neural_rendering_resolution_final=None),
+                augment=args.aug != "noaug", ray_sharding=ray_shard)
+        return losses_by_res[res]
 
     from ..parallel.mesh import batch_sharding
     from ..parallel.multihost import make_global_batch
@@ -532,11 +648,13 @@ def main(argv=None):
     save_thread = None
     for step_i in range(int(state.cur_nimg) // args.batch, total_steps):
         active = phases_for_step(step_i, train_cfg)
-        if active not in steps:
-            steps[active] = jax.jit(build_train_step(loss, train_cfg, g.z_dim, active))
+        nres = host_neural_res(step_i)
+        if (active, nres) not in steps:
+            steps[(active, nres)] = jax.jit(build_train_step(
+                loss_for_res(nres), train_cfg, g.z_dim, active))
         batch = next(batch_queue)
         key, sk = jax.random.split(key)
-        state, stats = steps[active](state, batch, sk)
+        state, stats = steps[(active, nres)](state, batch, sk)
         pending.append((step_i, stats))
 
         if len(pending) >= flush_interval or step_i % tick_interval == 0:

@@ -251,6 +251,42 @@ def test_trainer_flag_plumbing():
     tcfg = TrainConfig(batch_size=4, batch_gpu=2)
     assert tcfg.n_micro == 2
 
+    # capacity / precision / SR / conditioning knobs reach the modules
+    # (train_eclustrousC.py:239-264, 480-556)
+    args = parse_args([
+        "--name", "t", "--cbase-g", "16384", "--cmax-g", "256",
+        "--cbase-d", "8192", "--cmax-d", "128", "--map-depth", "3",
+        "--mbstd-group", "2", "--g-num-fp16-res", "0",
+        "--d-num-fp16-res", "2", "--sr-num-fp16-res", "1",
+        "--sr-channels-hidden", "128", "--sr-noise-mode", "random",
+        "--decoder-lr-mul", "0.5", "--use-triplane", "0",
+        "--tanh-rgb-output", "--c-scale", "0.5", "--c-noise", "0.1",
+        "--density-reg-p-dist", "0.01", "--neural-res-initial", "32",
+    ])
+    g, d, _, _, mk = build_models(args)
+    assert g.synthesis_kwargs == dict(channel_base=16384, channel_max=256,
+                                      num_fp16_res=0, conv_clamp=None)
+    assert g.mapping_kwargs == dict(num_layers=3)
+    assert g.sr_num_fp16_res == 1 and g.sr_channels_hidden == 128
+    assert g.rk["superresolution_noise_mode"] == "random"
+    assert g.rk["decoder_lr_mul"] == 0.5 and not g.rk["use_triplane"]
+    assert g.rk["tanh_rgb_output"] and g.rk["c_scale"] == 0.5
+    assert g.rk["density_reg_p_dist"] == 0.01
+    assert g.neural_rendering_resolution == 32
+    assert d.channel_base == 8192 and d.channel_max == 128
+    assert d.num_fp16_res == 2 and d.disc_c_noise == 0.1
+    assert d.epilogue_kwargs == dict(mbstd_group_size=2)
+    # snapshot config rebuilds the same architecture
+    from panic3d_tpu import configs as _cfgs
+    g2 = _cfgs.from_snapshot_config({"model_kwargs": mk})
+    assert g2.synthesis_kwargs == g.synthesis_kwargs
+    assert g2.neural_rendering_resolution == 32
+
+    # --fp32 zeroes every num_fp16_res (reference --fp32)
+    args = parse_args(["--name", "t", "--fp32"])
+    assert (args.g_num_fp16_res, args.d_num_fp16_res,
+            args.sr_num_fp16_res) == (0, 0, 0)
+
 
 # ---------------------------------------------------------------------------
 # auto-resume discovery + snapshot-time metric eval (training_loop_v0.py
@@ -303,3 +339,29 @@ def test_trainer_writes_snapshot_metric_jsonl(tmp_path):
     tb_dir = os.path.join(run_dir, "tb")
     assert os.path.isdir(tb_dir) and any(
         "tfevents" in f for f in os.listdir(tb_dir)), os.listdir(run_dir)
+
+
+def test_trainer_neural_res_ramp_and_desc(tmp_path):
+    """--neural-res-final ramps the rendering resolution on the HOST
+    (loss_orthocondA.py:214-218: int(rint(lerp))), compiling one step per
+    distinct resolution; --desc suffixes the run dir. Gmain+Dmain only
+    (lambdas/regs zeroed) to keep the three per-resolution compiles small."""
+    import os
+
+    from panic3d_tpu.training import trainer
+
+    out = str(tmp_path)
+    trainer.main([
+        "--name", "ramp", "--desc", "a", "--tiny", "--synthetic",
+        "--batch", "2", "--gamma", "0", "--density-reg", "0",
+        "--lambda-gcond-lpips", "0", "--lambda-gcond-l1", "0",
+        "--max-steps", "3", "--tick-steps", "1",
+        "--neural-res-initial", "16", "--neural-res-final", "8",
+        "--neural-res-fade-kimg", "0.004", "--outdir", out,
+    ])
+    run_dir = os.path.join(out, "ramp-a")  # <name>-<desc>
+    assert os.path.isdir(run_dir), os.listdir(out)
+    # the run completed through all three ramped resolutions — 16 (a=0),
+    # 12 (a=0.5), 8 (a=1) per the reference formula — each as its own
+    # compiled step; the final snapshot exists
+    assert any(f.startswith("network-snapshot-") for f in os.listdir(run_dir))
