@@ -65,6 +65,13 @@ class TrainConfig:
     # average (update equals the full-batch update); True reproduces the
     # reference semantics so its LR/batch_gpu recipes transfer verbatim.
     accum_sum: bool = False
+    # Freeze-D (reference --freezed, networks_stylegan2.py:788-794): the
+    # first N discriminator layers take no updates. Entries are
+    # (block, layer) name pairs, e.g. ("b512", "fromrgb"); gradients whose
+    # path contains the pair are zeroed before the optimizer (with Adam's
+    # zero-init moments a zero grad is exactly a no-op update, the
+    # optimizer-level equivalent of the reference's trainable=False).
+    d_frozen: Tuple = ()
     # Rematerialize phase losses in the backward pass. The r3 roofline
     # (PARITY.md) shows every G phase pinned to the HBM-bandwidth wall at
     # 6-8% MFU: recompute is nearly free there, while forward-residual
@@ -183,10 +190,26 @@ def build_train_step(
             vars_G=dict(state.vars_G, params=params), opt_G=new_opt
         ), stats
 
+    def _mask_frozen_d(grads):
+        if not train_cfg.d_frozen:
+            return grads
+        from flax import traverse_util
+
+        frozen = {tuple(p) for p in train_cfg.d_frozen}
+        flat = traverse_util.flatten_dict(grads)
+        flat = {
+            k: (jnp.zeros_like(v)
+                if any((k[i], k[i + 1]) in frozen for i in range(len(k) - 1))
+                else v)
+            for k, v in flat.items()
+        }
+        return traverse_util.unflatten_dict(flat)
+
     def d_phase_update(state, phase_fn, key, batch, gen_z, gen_c):
         grads, stats = accumulate(
             phase_fn, state.vars_D["params"], batch, gen_z, gen_c, key
         )
+        grads = _mask_frozen_d(grads)
         updates, new_opt = opt_D.update(grads, state.opt_D, state.vars_D["params"])
         params = optax.apply_updates(state.vars_D["params"], updates)
         return state.replace(

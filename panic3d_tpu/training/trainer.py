@@ -143,6 +143,9 @@ def parse_args(argv=None):
     ap.add_argument("--c-scale", type=float, default=1.0)
     ap.add_argument("--c-noise", type=float, default=0.0,
                     help="D pose-conditioning noise (disc_c_noise)")
+    ap.add_argument("--freezed", type=int, default=0,
+                    help="Freeze-D: first N discriminator layers take no "
+                         "updates (networks_stylegan2.py:788-794)")
     # precision: the reference trains G fp32 / D+SR fp16x4 fearing fp16
     # range; here the mixed dtype is bf16 (full fp32 range), so the backbone
     # default stays bf16 — the HBM-roofline lever (PARITY.md). --fp32 or
@@ -204,6 +207,27 @@ def _snapshot_images(g, state, batch, snap_dir):
         save_grid(list(imgs), os.path.join(snap_dir, "fakes.png"))
     except Exception as e:  # snapshot imaging must never kill training
         print(f"snapshot image failed: {e}")
+
+
+def d_frozen_paths(img_resolution: int, freezed: int, architecture="resnet"):
+    """(block, layer) pairs for the first `freezed` D layers, replicating the
+    reference's layer indexing (networks_stylegan2.py:788-810): blocks from
+    the highest resolution down; per block fromrgb (first block / skip arch
+    only), conv0, conv1, then the resnet skip."""
+    if freezed <= 0:
+        return ()
+    out, idx = [], 0
+    res_log2 = int(np.log2(img_resolution))
+    for i, res in enumerate(2**j for j in range(res_log2, 2, -1)):
+        layers = ["fromrgb"] if (i == 0 or architecture == "skip") else []
+        layers += ["conv0", "conv1"]
+        if architecture == "resnet":
+            layers.append("skip")
+        for name in layers:
+            if idx < freezed:
+                out.append((f"b{res}", name))
+            idx += 1
+    return tuple(out)
 
 
 def build_models(args):
@@ -477,6 +501,7 @@ def main(argv=None):
         d_lr=args.dlr,
         g_reg_interval=args.density_reg_every,
         ema_kimg=args.batch * 10 / 32,
+        d_frozen=d_frozen_paths(g.img_resolution, args.freezed),
         phases=tuple(phases),
     )
     if args.dry_run:

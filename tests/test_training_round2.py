@@ -365,3 +365,41 @@ def test_trainer_neural_res_ramp_and_desc(tmp_path):
     # 12 (a=0.5), 8 (a=1) per the reference formula — each as its own
     # compiled step; the final snapshot exists
     assert any(f.startswith("network-snapshot-") for f in os.listdir(run_dir))
+
+
+def test_freeze_d_layers(rig):
+    """--freezed N: the first N discriminator layers (reference indexing,
+    networks_stylegan2.py:788-810) take no update in a Dmain step; all
+    other D params move."""
+    from flax import traverse_util
+
+    from panic3d_tpu.training.trainer import d_frozen_paths
+
+    g, d, vars_G, vars_D, lpips_vars, batch = rig
+    # tiny D at 128²: first block b128 has fromrgb+conv0+conv1+skip = 4
+    frozen = d_frozen_paths(d.img_resolution, 4)
+    assert frozen == (("b128", "fromrgb"), ("b128", "conv0"),
+                      ("b128", "conv1"), ("b128", "skip"))
+    # 5th layer crosses into the next block
+    assert d_frozen_paths(d.img_resolution, 5)[-1] == ("b64", "conv0")
+
+    cfg = LossConfig()
+    loss = make_loss(g, d, lpips_vars, cfg, noise_mode="const")
+    tcfg = TrainConfig(batch_size=BS, phases=("Dmain",), d_frozen=frozen)
+    state = init_state(vars_G, vars_D, tcfg)
+    step = jax.jit(build_train_step(loss, tcfg, g.z_dim, ("Dmain",)))
+    new_state, _ = step(state, batch, jax.random.PRNGKey(3))
+
+    before = traverse_util.flatten_dict(vars_D["params"])
+    after = traverse_util.flatten_dict(new_state.vars_D["params"])
+    moved_frozen, moved_rest, n_frozen = 0.0, 0.0, 0
+    for k in before:
+        delta = float(jnp.abs(after[k] - before[k]).max())
+        if any((k[i], k[i + 1]) in set(frozen) for i in range(len(k) - 1)):
+            moved_frozen += delta
+            n_frozen += 1
+        else:
+            moved_rest += delta
+    assert n_frozen >= 4  # the four first-block layers' params were seen
+    assert moved_frozen == 0.0
+    assert moved_rest > 0.0
