@@ -342,25 +342,17 @@ def _load_rmline(args):
 def _load_resnet(args):
     import jax
 
-    from ..models.resnet import ResNet50, ResnetFeatureExtractorPCA
-    from ..runtime.checkpoint import load_checkpoint
+    from ..models.resnet import (ResNet50, ResnetFeatureExtractorPCA,
+                                 load_pca_extractor)
 
     path = (os.path.join(os.path.dirname(args.ckpt), "resnet")
             if args.ckpt else "")
-    resnet = ResNet50()
     if path and os.path.isdir(path):
-        variables, cfg = load_checkpoint(path)
-        pca_w = np.asarray(cfg["pca_components"]) if cfg else None
-        pca_m = np.asarray(cfg["pca_mean"]) if cfg else None
-        import numpy as _np
-
-        pca = _np.load(os.path.join(path, "pca.npz"))
-        return ResnetFeatureExtractorPCA(
-            resnet, variables, pca["components"], pca["mean"], 512
-        )
+        return load_pca_extractor(path)
     print("WARNING: no resnet checkpoint; using random features")
     import jax.numpy as jnp
 
+    resnet = ResNet50()
     variables = resnet.init(jax.random.PRNGKey(0), jnp.zeros((1, 3, 256, 256)))
     rng = np.random.RandomState(0)
     return ResnetFeatureExtractorPCA(

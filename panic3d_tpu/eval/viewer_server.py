@@ -424,21 +424,6 @@ def make_handler(backend: ViewerBackend):
     return Handler
 
 
-def _load_resnet(path):
-    """Converted resnet+PCA checkpoint dir -> ResnetFeatureExtractorPCA
-    (same layout eval/generate._load_resnet consumes: state.msgpack +
-    pca.npz)."""
-    import os
-
-    from ..models.resnet import ResNet50, ResnetFeatureExtractorPCA
-    from ..runtime.checkpoint import load_checkpoint
-
-    variables, _ = load_checkpoint(path)
-    pca = np.load(os.path.join(path, "pca.npz"))
-    return ResnetFeatureExtractorPCA(
-        ResNet50(), variables, pca["components"], pca["mean"], 512)
-
-
 def build_backend(ckpt=None, tiny=False, resnet=None):
     import jax
     import jax.numpy as jnp
@@ -446,7 +431,12 @@ def build_backend(ckpt=None, tiny=False, resnet=None):
     from .. import configs
     from ..models.triplane import TriPlaneGenerator
 
-    resnet_fn = _load_resnet(resnet) if resnet else None
+    if resnet:
+        from ..models.resnet import load_pca_extractor
+
+        resnet_fn = load_pca_extractor(resnet)
+    else:
+        resnet_fn = None
 
     if ckpt:
         from ..runtime.checkpoint import (extract_generator_variables,

@@ -163,3 +163,19 @@ class ResnetFeatureExtractorPCA:
         taps = self.resnet.apply(self.variables, batch, return_taps=True)
         pooled = taps["avgpool"]  # [2, 2048]
         return (pooled - self.pb[None]) @ self.pw.T
+
+
+def load_pca_extractor(path: str, dim_out: int = 512) -> ResnetFeatureExtractorPCA:
+    """Converted resnet+PCA checkpoint dir (state.msgpack + pca.npz, the
+    layout runtime/convert writes) -> ready extractor. Shared by
+    eval.generate and the viewer's portrait re-conditioning."""
+    import os
+
+    import numpy as np
+
+    from ..runtime.checkpoint import load_checkpoint
+
+    variables, _ = load_checkpoint(path)
+    pca = np.load(os.path.join(path, "pca.npz"))
+    return ResnetFeatureExtractorPCA(
+        ResNet50(), variables, pca["components"], pca["mean"], dim_out)

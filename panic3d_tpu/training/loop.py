@@ -271,6 +271,11 @@ def build_train_step(
                         cur_nimg, state.pl_mean,
                         gain=float(train_cfg.g_reg_interval),
                     )
+                if train_cfg.remat:  # same policy as accumulate()
+                    policy = (
+                        jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                        if train_cfg.remat == "dots" else None)
+                    fn = jax.checkpoint(fn, policy=policy)
                 grad_fn = jax.value_and_grad(fn, has_aux=True)
                 (_, s), grads = grad_fn(
                     state.vars_G["params"], batch, gen_z, gen_c, pk

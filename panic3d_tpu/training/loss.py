@@ -121,7 +121,10 @@ class LossConfig:
         step counter for this; reference ramp at loss:214-218)."""
         if self.neural_rendering_resolution_final is None:
             return self.neural_rendering_resolution_initial
-        a = min(int(cur_nimg) / (self.neural_rendering_resolution_fade_kimg * 1e3), 1)
+        # fade=0 + final set degenerates to the final resolution immediately
+        # (the reference would divide by zero there)
+        a = min(int(cur_nimg) / max(
+            self.neural_rendering_resolution_fade_kimg * 1e3, 1e-8), 1)
         return int(np.rint(
             self.neural_rendering_resolution_initial * (1 - a)
             + self.neural_rendering_resolution_final * a

@@ -166,6 +166,10 @@ def parse_args(argv=None):
     ap.add_argument("--neural-res-initial", type=int, default=64)
     ap.add_argument("--neural-res-final", type=int, default=None)
     ap.add_argument("--neural-res-fade-kimg", type=float, default=0.0)
+    ap.add_argument("--neural-res-quantize", type=int, default=8,
+                    help="snap ramped resolutions to multiples of N "
+                         "(bounds per-resolution recompiles; 1 = the "
+                         "reference's every-integer schedule)")
     ap.add_argument("--desc", default=None,
                     help="run-dir suffix: <name>-<desc>")
     ap.add_argument("--resume-discrim", default=None,
@@ -501,7 +505,8 @@ def main(argv=None):
         d_lr=args.dlr,
         g_reg_interval=args.density_reg_every,
         ema_kimg=args.batch * 10 / 32,
-        d_frozen=d_frozen_paths(g.img_resolution, args.freezed),
+        d_frozen=d_frozen_paths(d.img_resolution, args.freezed,
+                                d.architecture),
         phases=tuple(phases),
     )
     if args.dry_run:
@@ -604,17 +609,29 @@ def main(argv=None):
     steps = {}  # (phase-tuple, neural_res) -> compiled step
     losses_by_res = {args.neural_res_initial: loss}
 
+    # the ramp formula lives in ONE place — LossConfig (loss.py:118-129,
+    # mirroring loss_orthocondA.py:214-218); this cfg variant carries the
+    # actual final/fade so the HOST can evaluate it, while the jitted loss
+    # always sees final=None (a traced int() would fail under jit)
+    ramp_cfg = dataclasses.replace(
+        loss_cfg,
+        neural_rendering_resolution_final=args.neural_res_final,
+        neural_rendering_resolution_fade_kimg=args.neural_res_fade_kimg)
+
     def host_neural_res(step_i: int) -> int:
-        """Neural-rendering resolution ramp (loss_orthocondA.py:214-218),
-        resolved on the HOST: the resolution is shape-determining, so each
-        distinct value compiles its own step; the jitted loss always sees
-        final=None (a traced int() would fail under jit)."""
-        if args.neural_res_final is None:
-            return args.neural_res_initial
-        a = min(step_i * args.batch /
-                max(args.neural_res_fade_kimg * 1e3, 1e-8), 1.0)
-        return int(np.rint(args.neural_res_initial * (1 - a)
-                           + args.neural_res_final * a))
+        """Resolution is shape-determining: each distinct value compiles its
+        own step. --neural-res-quantize bounds how many compiles a long fade
+        produces (TPU compiles are minutes; 1 = the reference's every-integer
+        schedule); ramp endpoints are always exact."""
+        res = int(ramp_cfg.neural_rendering_resolution(step_i * args.batch))
+        q = args.neural_res_quantize
+        final = args.neural_res_final
+        if q > 1 and final is not None and res not in (
+                args.neural_res_initial, final):
+            lo = min(args.neural_res_initial, final)
+            hi = max(args.neural_res_initial, final)
+            res = int(np.clip(int(np.rint(res / q)) * q, lo, hi))
+        return res
 
     def loss_for_res(res: int):
         if res not in losses_by_res:
@@ -671,7 +688,22 @@ def main(argv=None):
 
     signs_hist = []
     save_thread = None
-    for step_i in range(int(state.cur_nimg) // args.batch, total_steps):
+    start_step = int(state.cur_nimg) // args.batch
+    nres = host_neural_res(start_step)
+
+    def snap_artifacts(nres):
+        """Snapshot config + generator AT the ramped resolution: the
+        reference pickles G with its current neural_rendering_resolution
+        (training_loop_v0.py:470-485), so loaders and snapshot-time metrics
+        must see the resolution the model is actually training at."""
+        cfg_now = dict(snap_config,
+                       model_kwargs=dict(model_kwargs,
+                                         neural_rendering_resolution=nres))
+        g_now = (g if nres == g.neural_rendering_resolution
+                 else g.clone(neural_rendering_resolution=nres))
+        return cfg_now, g_now
+
+    for step_i in range(start_step, total_steps):
         active = phases_for_step(step_i, train_cfg)
         nres = host_neural_res(step_i)
         if (active, nres) not in steps:
@@ -725,10 +757,11 @@ def main(argv=None):
                     save_thread.join()
                 os.makedirs(snap, exist_ok=True)
 
-                def _save(snap=snap, state=state):
-                    save_checkpoint(
-                        snap, jax.device_get(state), config=snap_config
-                    )
+                cfg_now, g_now = snap_artifacts(nres)
+
+                def _save(snap=snap, state=state, cfg_now=cfg_now):
+                    save_checkpoint(snap, jax.device_get(state),
+                                    config=cfg_now)
                     print(f"saved {snap}")
 
                 save_thread = threading.Thread(target=_save, daemon=True)
@@ -738,10 +771,11 @@ def main(argv=None):
                 # leader cannot eagerly apply G to non-addressable shards.
                 # A fixed batch also matches the reference's fixed image grid
                 # (training_loop_v0.py:435-443).
-                _snapshot_images(g, state, first, snap)
+                _snapshot_images(g_now, state, first, snap)
                 # snapshot-time metric eval (training_loop_v0.py:487-498)
                 if args.metrics != "none":
-                    _snapshot_metrics(args, g, state, make_batch_iter, run_dir, snap)
+                    _snapshot_metrics(args, g_now, state, make_batch_iter,
+                                      run_dir, snap)
 
     flush_pending()
     if tb is not None:
@@ -751,7 +785,8 @@ def main(argv=None):
         save_thread.join()
     if leader:
         snap = os.path.join(run_dir, f"network-snapshot-{int(state.cur_nimg):06d}")
-        save_checkpoint(snap, jax.device_get(state), config=snap_config)
+        cfg_now, _ = snap_artifacts(nres)
+        save_checkpoint(snap, jax.device_get(state), config=cfg_now)
         print(f"done; final snapshot {snap}")
 
 

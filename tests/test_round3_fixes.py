@@ -12,6 +12,7 @@ import os
 
 import numpy as np
 import jax
+import jax.flatten_util  # noqa: F401  (registers jax.flatten_util)
 import jax.numpy as jnp
 import optax
 import pytest

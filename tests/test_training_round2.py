@@ -357,7 +357,8 @@ def test_trainer_neural_res_ramp_and_desc(tmp_path):
         "--lambda-gcond-lpips", "0", "--lambda-gcond-l1", "0",
         "--max-steps", "3", "--tick-steps", "1",
         "--neural-res-initial", "16", "--neural-res-final", "8",
-        "--neural-res-fade-kimg", "0.004", "--outdir", out,
+        "--neural-res-fade-kimg", "0.004", "--neural-res-quantize", "1",
+        "--outdir", out,
     ])
     run_dir = os.path.join(out, "ramp-a")  # <name>-<desc>
     assert os.path.isdir(run_dir), os.listdir(out)
