@@ -22,12 +22,18 @@ from panic3d_tpu.training import TrainConfig
 import panic3d_tpu.training.loop as loop_mod
 
 
-pytestmark = pytest.mark.fast
+# Most of these are quick units (fast gate); the three multi-phase
+# train-step equivalence tests (pl grad-flow, fused-recon, remat) each pay
+# a 3-4 min CPU compile and carry `slow` instead — the fast gate must stay
+# inside a bounded CI window (README "Test gates").
+fast = pytest.mark.fast
+heavy_compile = pytest.mark.slow
 
 
 # ---------------------------------------------------------------------------
 # checkpoint atomicity
 
+@fast
 def test_save_checkpoint_atomic(tmp_path):
     """A completed save leaves no .tmp files; a leftover .tmp from a crashed
     save is invisible to find_resume (only the os.replace target counts)."""
@@ -52,6 +58,7 @@ def test_save_checkpoint_atomic(tmp_path):
 # ---------------------------------------------------------------------------
 # pre-round-3 snapshots (no pl_mean field) must still resume
 
+@fast
 def test_resume_tolerates_missing_state_fields(tmp_path):
     """load_train_state restores a snapshot that predates a GANTrainState
     field: the missing field keeps its fresh default instead of from_bytes
@@ -92,6 +99,7 @@ def test_resume_tolerates_missing_state_fields(tmp_path):
 # ---------------------------------------------------------------------------
 # trainer snapshots load everywhere: full-state unwrap
 
+@fast
 def test_generator_variables_unwrap():
     from panic3d_tpu.runtime.checkpoint import extract_generator_variables
 
@@ -104,6 +112,7 @@ def test_generator_variables_unwrap():
 # ---------------------------------------------------------------------------
 # model_kwargs in snapshot config -> loader roundtrip
 
+@fast
 def test_from_snapshot_config_roundtrip():
     from panic3d_tpu.training.trainer import build_models, parse_args
 
@@ -152,6 +161,7 @@ class _LinearLoss:
         return loss, {"Loss/G/front": loss}
 
 
+@fast
 def test_accum_sum_scales_update(monkeypatch):
     monkeypatch.setattr(loop_mod, "make_optimizers",
                         lambda cfg: (optax.sgd(1.0), optax.sgd(1.0)))
@@ -182,6 +192,7 @@ def test_accum_sum_scales_update(monkeypatch):
 # path-length regularization (upstream StyleGAN2 Gpl; the reference keeps
 # the pl_* knobs, loss.py:44-48, but deleted the phase)
 
+@heavy_compile
 def test_pl_regularization_grad_flow():
     """A Gpl-only step on the tiny G: finite loss, G params actually move,
     and the pl_mean EMA advances in the train state."""
@@ -228,6 +239,7 @@ def test_pl_regularization_grad_flow():
 # ---------------------------------------------------------------------------
 # metric -> feature-net routing (fid50k_full = Inception, fid_clip = CLIP)
 
+@fast
 def test_snapshot_metric_feature_routing(monkeypatch, tmp_path):
     """_snapshot_metrics picks the Inception detector for fid50k_full (the
     reference's paper protocol, frechet_inception_distance.py:23-24) and the
@@ -260,6 +272,7 @@ def test_snapshot_metric_feature_routing(monkeypatch, tmp_path):
 # ---------------------------------------------------------------------------
 # PPL endpoints share noise
 
+@fast
 def test_ppl_uses_const_noise():
     """pair_dist must not inject per-endpoint random noise: with a constant
     lpips_fn stub the source is inspected for noise_mode='const' usage (the
@@ -277,6 +290,7 @@ def test_ppl_uses_const_noise():
 # fused recon phase (--fuse-recon): one shared-backbone pass == the sum of
 # the separate per-view phases
 
+@heavy_compile
 def test_fused_recon_matches_separate_phases():
     from test_training_round2 import BS, SIZE, tiny_models
     from panic3d_tpu.data.dataset import synthetic_batch
@@ -332,6 +346,7 @@ def test_fused_recon_matches_separate_phases():
 # ---------------------------------------------------------------------------
 # plane-cached eval renders: one backbone pass per portrait, output-identical
 
+@fast
 def test_plane_cached_render_matches_full():
     """With a camera-free mapping (c_gen_conditioning_zero) the cached
     (ws, planes) render path must reproduce the full per-batch forward."""
@@ -368,6 +383,7 @@ def test_plane_cached_render_matches_full():
 # ---------------------------------------------------------------------------
 # remat: backward-pass rematerialization must not change the update
 
+@heavy_compile
 def test_remat_update_equivalence():
     """One multi-phase step with remat='full' produces the same parameter
     update as the default residual-storing step (jax.checkpoint changes the
