@@ -1,0 +1,115 @@
+"""AOT-compiled serving artifacts via jax.export (StableHLO).
+
+The reference ships trained models as source-embedding pickles
+(`src/torch_utils/persistence.py:37-134`) that re-exec arbitrary Python at
+load time — its only "serving format".  The TPU-native artifact here is the
+opposite: a **code-free StableHLO module** exported with `jax.export`.
+
+A serving bundle is a directory:
+
+    bundle/
+      render.jaxexport   serialized jax.export.Exported of the view forward
+                         (graph only — weights are a call argument)
+      state.msgpack      generator variables, the existing checkpoint format
+      config.json        model/config metadata (runtime/checkpoint.py layout)
+
+Properties the pickle format cannot offer:
+  - loading executes NO model code: `deserialize` rebuilds the compiled
+    graph from StableHLO bytes; a serving host needs jax + the bundle, not
+    panic3d_tpu's model sources (a C++ PJRT host can run the same module).
+  - multi-platform: one artifact can carry lowerings for several backends
+    (``platforms=("tpu", "cpu")``), so the artifact built on a TPU build
+    host also runs on a CPU canary.
+  - versioned + shape-checked: jax.export embeds the calling convention and
+    input shapes/dtypes and validates them at call time.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+from jax import export as jax_export
+
+from .checkpoint import load_checkpoint, save_checkpoint
+
+RENDER_FILE = "render.jaxexport"
+
+
+def export_view_renderer(
+    g,
+    variables,
+    example_xin: dict,
+    *,
+    platforms: Optional[Sequence[str]] = None,
+    outputs: Tuple[str, ...] = ("image", "image_raw", "image_depth"),
+) -> jax_export.Exported:
+    """Export ``G.f``'s view forward as a jax.export.Exported.
+
+    The exported callable has signature ``(variables, xin) -> dict`` with
+    the same pytree layout as ``example_xin`` (shapes/dtypes are frozen into
+    the artifact; export per served batch shape). ``noise_mode='const'``
+    matches eval semantics (`_scripts/eval/generate.py` renders are
+    deterministic, SURVEY §3.1).
+    """
+    from ..models.triplane import TriPlaneGenerator
+
+    def forward(variables, xin):
+        out = g.apply(
+            variables, xin, method=TriPlaneGenerator.f, noise_mode="const"
+        )
+        return {k: out[k] for k in outputs if k in out}
+
+    fn = jax.jit(forward)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+        (variables, example_xin),
+    )
+    return jax_export.export(fn, **kwargs)(*specs)
+
+
+def save_serving_bundle(
+    path: str,
+    g,
+    variables,
+    example_xin: dict,
+    *,
+    config: Optional[dict] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> None:
+    """Write a self-contained serving bundle directory (see module doc)."""
+    exported = export_view_renderer(g, variables, example_xin,
+                                    platforms=platforms)
+    os.makedirs(path, exist_ok=True)
+    blob = exported.serialize()
+    tmp = os.path.join(path, RENDER_FILE + ".tmp")
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, os.path.join(path, RENDER_FILE))
+    save_checkpoint(path, variables, config=config)
+
+
+class ServingBundle:
+    """Load + call a serving bundle without importing model code.
+
+    >>> b = ServingBundle("bundle/")
+    >>> out = b(xin)           # xin matches the exported example shapes
+    >>> out["image"].shape
+    """
+
+    def __init__(self, path: str):
+        with open(os.path.join(path, RENDER_FILE), "rb") as f:
+            self.exported = jax_export.deserialize(f.read())
+        self.variables, self.config = load_checkpoint(path)
+        self._call = jax.jit(self.exported.call)
+
+    @property
+    def platforms(self) -> Tuple[str, ...]:
+        return tuple(self.exported.platforms)
+
+    def __call__(self, xin: dict) -> dict:
+        return self._call(self.variables, xin)
