@@ -27,6 +27,7 @@ Properties the pickle format cannot offer:
 from __future__ import annotations
 
 import os
+import re
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -93,6 +94,69 @@ def save_serving_bundle(
     save_checkpoint(path, variables, config=config)
 
 
+def example_xin_for(g, batch: int = 1) -> dict:
+    """A serving-shaped ``G.f`` input for generator config ``g``.
+
+    Conditioning shapes follow the cond_mode feature flags the same way the
+    backbone parses them (`networks_stylegan2.py:221,543` split('.') flags):
+    ``reschonk_add_N`` -> (N,8,8) spatial features, ``resnetcond_N`` -> (N,)
+    mapping features. The ortho-front image uses img_resolution (injections
+    resize to each block's resolution, so any size works; this matches the
+    dataset's 512² ortho renders on the flagship).
+    """
+    import jax.numpy as jnp
+
+    r = g.img_resolution
+    cond = {
+        "image_ortho_front": jnp.zeros((batch, 3, r, r), jnp.float32),
+    }
+    mode = g.cond_mode or ""
+    m = re.search(r"reschonk_add_(\d+)", mode)
+    if m:
+        cond["resnet_chonk"] = jnp.zeros(
+            (batch, int(m.group(1)), 8, 8), jnp.float32)
+    m = re.search(r"resnetcond_(\d+)", mode)
+    if m:
+        cond["resnet_feats"] = jnp.zeros((batch, int(m.group(1))), jnp.float32)
+    return {
+        "z": jnp.zeros((batch, g.z_dim), jnp.float32),
+        "elevations": jnp.zeros(batch),
+        "azimuths": jnp.zeros(batch),
+        "cond": cond,
+    }
+
+
+def main(argv=None):
+    """Export a trainer snapshot as a serving bundle.
+
+    python -m panic3d_tpu.runtime.aot --ckpt <snapshot-dir> --out <bundle> \
+        [--batch 1] [--platforms tpu,cpu]
+    """
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--ckpt", required=True, help="trainer snapshot dir")
+    ap.add_argument("--out", required=True, help="bundle output dir")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="served batch size (frozen into the artifact)")
+    ap.add_argument("--platforms", default=None,
+                    help="comma list, e.g. 'tpu,cpu' (default: current)")
+    args = ap.parse_args(argv)
+
+    from .. import configs
+    from .checkpoint import extract_generator_variables
+
+    state, config = load_checkpoint(args.ckpt)
+    variables = extract_generator_variables(state)
+    g = configs.from_snapshot_config(config, eval_mode=True)
+    xin = example_xin_for(g, batch=args.batch)
+    platforms = args.platforms.split(",") if args.platforms else None
+    save_serving_bundle(args.out, g, variables, xin,
+                        config=config, platforms=platforms)
+    print(f"wrote serving bundle: {args.out} "
+          f"(batch={args.batch}, platforms={platforms or 'default'})")
+
+
 class ServingBundle:
     """Load + call a serving bundle without importing model code.
 
@@ -113,3 +177,7 @@ class ServingBundle:
 
     def __call__(self, xin: dict) -> dict:
         return self._call(self.variables, xin)
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,10 @@ def main():
     ap.add_argument("--fuse-recon", action="store_true",
                     help="one shared-backbone recon phase instead of "
                          "Gcond/Gside-* (the roofline-driven optimization)")
+    ap.add_argument("--phases", default=None,
+                    help="comma-separated phase subset (e.g. 'Gmain,Dmain') "
+                         "— cheap targeted roofline probes without the full "
+                         "multi-phase compile")
     args = ap.parse_args()
 
     from panic3d_tpu import configs
@@ -157,6 +161,13 @@ def main():
     else:
         phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back",
                   "Grand", "Greg", "Dmain", "Dreg")
+    if args.phases:
+        keep = tuple(p.strip() for p in args.phases.split(","))
+        unknown = set(keep) - set(phases)
+        if unknown:
+            raise SystemExit(f"unknown phases {sorted(unknown)}; "
+                             f"choose from {phases}")
+        phases = tuple(p for p in phases if p in keep)
 
     if args.breakdown:
         return breakdown(args, g, loss, tcfg, state, batch, phases)

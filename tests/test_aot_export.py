@@ -96,3 +96,27 @@ def test_bundle_save_load_and_shape_check(tmp_path, tiny_g_vars):
     bad = dict(xin, z=jnp.zeros((2, TINY["z_dim"]), jnp.float32))
     with pytest.raises(Exception):
         b(bad)
+
+
+def test_aot_cli_from_snapshot(tmp_path):
+    """python -m panic3d_tpu.runtime.aot --ckpt ... --out ... end-to-end."""
+    from panic3d_tpu import configs
+    from panic3d_tpu.runtime import aot
+    from panic3d_tpu.runtime.checkpoint import save_checkpoint
+
+    mk = dict(family="tiny", cond_mode="ortho_front.add_4.reschonk_add_16")
+    g = configs.tiny(cond_mode=mk["cond_mode"])
+    xin = aot.example_xin_for(g, batch=1)
+    variables = g.init({"params": jax.random.PRNGKey(0)}, xin,
+                       method=TriPlaneGenerator.f, noise_mode="const")
+    snap = tmp_path / "run" / "network-snapshot-000002"
+    save_checkpoint(str(snap), jax.device_get(variables),
+                    config={"model_kwargs": mk})
+
+    out = str(tmp_path / "bundle")
+    aot.main(["--ckpt", str(snap), "--out", out])
+    b = ServingBundle(out)
+    res = b(aot.example_xin_for(configs.from_snapshot_config(b.config,
+                                                            eval_mode=True)))
+    img = np.asarray(res["image"])
+    assert img.shape[0] == 1 and np.isfinite(img).all()
