@@ -120,3 +120,14 @@ def test_aot_cli_from_snapshot(tmp_path):
                                                             eval_mode=True)))
     img = np.asarray(res["image"])
     assert img.shape[0] == 1 and np.isfinite(img).all()
+
+
+def test_multiplatform_export_from_cpu(tiny_g_vars):
+    """One artifact carries cpu+tpu lowerings, built without a TPU client —
+    the build-anywhere / serve-on-TPU property of the bundle format."""
+    g, variables, xin = tiny_g_vars
+    e = export_view_renderer(g, variables, xin, platforms=("cpu", "tpu"))
+    assert tuple(e.platforms) == ("cpu", "tpu")
+    re = jax.export.deserialize(bytes(e.serialize()))
+    out = re.call(variables, xin)  # runs on the current (cpu) backend
+    assert np.isfinite(np.asarray(out["image"])).all()
