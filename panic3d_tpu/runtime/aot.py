@@ -81,17 +81,117 @@ def save_serving_bundle(
     *,
     config: Optional[dict] = None,
     platforms: Optional[Sequence[str]] = None,
+    volume_resolution: Optional[int] = None,
+    volume_kwargs: Optional[dict] = None,
 ) -> None:
-    """Write a self-contained serving bundle directory (see module doc)."""
-    exported = export_view_renderer(g, variables, example_xin,
-                                    platforms=platforms)
+    """Write a self-contained serving bundle directory (see module doc).
+
+    volume_resolution: additionally export the mesh-path volume decode at
+    this lattice resolution (``volume.jaxexport``); volume_kwargs forwards
+    chunk/crop/cull to `export_volume_decoder`.
+    """
     os.makedirs(path, exist_ok=True)
-    blob = exported.serialize()
-    tmp = os.path.join(path, RENDER_FILE + ".tmp")
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, os.path.join(path, RENDER_FILE))
+
+    def write(fname: str, exported: jax_export.Exported):
+        tmp = os.path.join(path, fname + ".tmp")
+        with open(tmp, "wb") as f:
+            f.write(exported.serialize())
+        os.replace(tmp, os.path.join(path, fname))
+
+    write(RENDER_FILE,
+          export_view_renderer(g, variables, example_xin,
+                               platforms=platforms))
+    if volume_resolution:
+        write(VOLUME_FILE,
+              export_volume_decoder(g, variables, example_xin,
+                                    resolution=volume_resolution,
+                                    platforms=platforms,
+                                    **(volume_kwargs or {})))
     save_checkpoint(path, variables, config=config)
+
+
+VOLUME_FILE = "volume.jaxexport"
+
+
+def export_volume_decoder(
+    g,
+    variables,
+    example_xin: dict,
+    *,
+    resolution: int = 256,
+    chunk: int = 2 ** 17,
+    triplane_crop: Optional[float] = None,
+    cull_clouds: Optional[float] = None,
+    platforms: Optional[Sequence[str]] = None,
+) -> jax_export.Exported:
+    """Export the 256³ volume decode (the mesh path) as one jax.export graph.
+
+    Signature: ``(variables, {z, cond}) -> {sigmas, rgbs, densities}``, each
+    ``[1, C, N, N, N]`` in `eval/volume.get_volume`'s output orientation
+    (`_util/eg3d_metrics3d.py:94-183` role), so a serving host only needs
+    marching cubes/tetrahedra on the densities — no model code. The
+    coordinate lattice is generated inside the graph (device-side, like
+    get_volume); resolution/chunk/filters are frozen into the artifact.
+    """
+    from ..cameras.conventions import camera_label
+    from ..eval import volume as V
+    from ..models.triplane import TriPlaneGenerator
+
+    bw = g.rk["box_warp"]
+
+    def decode(variables, xin):
+        bs = xin["z"].shape[0]
+        ones = jnp.ones(bs)
+        cam = camera_label(jnp.zeros(bs), jnp.zeros(bs), ones, 30 * ones)
+        ws = g.apply(variables, xin["z"], cam, xin.get("cond"),
+                     method=TriPlaneGenerator.mapping)
+        planes = g.apply(variables, ws, xin.get("cond"), noise_mode="const",
+                         method=TriPlaneGenerator._planes_from_ws)
+        if g.triplane_depth == 1:
+            from ..ops.grid_sample import pack_planes
+
+            planes = pack_planes(planes)
+
+        chunks = V.create_samples_device(resolution, bw, chunk)
+
+        def body(coords):
+            out = g.apply(variables, planes, coords[None],
+                          method=TriPlaneGenerator.sample_mixed_planes)
+            return out["sigma"][0], out["rgb"][0]
+
+        sig, rgb = jax.lax.map(body, chunks)
+        n = resolution ** 3
+        sigmas = sig.reshape(-1, 1)[:n][None]
+        rgbs = rgb.reshape(-1, rgb.shape[-1])[:n][None]
+        densities = V.sigma2density(sigmas)
+        samples = V.create_samples_device(resolution, bw, n).reshape(1, n, 3)
+        if triplane_crop:
+            densities = jnp.where(
+                V.triplane_crop_mask(samples, triplane_crop, bw),
+                -1e3, densities)
+        if cull_clouds:
+            densities = jnp.where(
+                V.cull_clouds_mask(densities, cull_clouds), -1e3, densities)
+
+        N = resolution
+
+        def fmt(x):
+            x = x.reshape(1, N, N, N, -1)
+            x = jnp.flip(x, axis=1)
+            return jnp.transpose(x, (0, 4, 1, 2, 3))
+
+        return {"sigmas": fmt(sigmas), "rgbs": fmt(rgbs),
+                "densities": fmt(densities)}
+
+    xin = {"z": example_xin["z"]}
+    if example_xin.get("cond") is not None:
+        xin["cond"] = example_xin["cond"]
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = list(platforms)
+    specs = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (variables, xin))
+    return jax_export.export(jax.jit(decode), **kwargs)(*specs)
 
 
 def example_xin_for(g, batch: int = 1) -> dict:
@@ -141,6 +241,9 @@ def main(argv=None):
                     help="served batch size (frozen into the artifact)")
     ap.add_argument("--platforms", default=None,
                     help="comma list, e.g. 'tpu,cpu' (default: current)")
+    ap.add_argument("--volume-resolution", type=int, default=None,
+                    help="also export the mesh-path volume decode at this "
+                         "lattice resolution (e.g. 256)")
     args = ap.parse_args(argv)
 
     from .. import configs
@@ -152,9 +255,11 @@ def main(argv=None):
     xin = example_xin_for(g, batch=args.batch)
     platforms = args.platforms.split(",") if args.platforms else None
     save_serving_bundle(args.out, g, variables, xin,
-                        config=config, platforms=platforms)
+                        config=config, platforms=platforms,
+                        volume_resolution=args.volume_resolution)
     print(f"wrote serving bundle: {args.out} "
-          f"(batch={args.batch}, platforms={platforms or 'default'})")
+          f"(batch={args.batch}, platforms={platforms or 'default'}, "
+          f"volume={args.volume_resolution})")
 
 
 class ServingBundle:
@@ -168,8 +273,15 @@ class ServingBundle:
     def __init__(self, path: str):
         with open(os.path.join(path, RENDER_FILE), "rb") as f:
             self.exported = jax_export.deserialize(f.read())
+        self.volume_exported = None
+        vpath = os.path.join(path, VOLUME_FILE)
+        if os.path.exists(vpath):
+            with open(vpath, "rb") as f:
+                self.volume_exported = jax_export.deserialize(f.read())
         self.variables, self.config = load_checkpoint(path)
         self._call = jax.jit(self.exported.call)
+        self._vcall = (jax.jit(self.volume_exported.call)
+                       if self.volume_exported is not None else None)
 
     @property
     def platforms(self) -> Tuple[str, ...]:
@@ -177,6 +289,16 @@ class ServingBundle:
 
     def __call__(self, xin: dict) -> dict:
         return self._call(self.variables, xin)
+
+    def volume(self, xin: dict) -> dict:
+        """Mesh-path densities/rgbs (requires volume_resolution at export)."""
+        if self._vcall is None:
+            raise ValueError("bundle was exported without a volume decoder "
+                             "(pass volume_resolution to save_serving_bundle)")
+        vin = {"z": xin["z"]}
+        if xin.get("cond") is not None:
+            vin["cond"] = xin["cond"]
+        return self._vcall(self.variables, vin)
 
 
 if __name__ == "__main__":
