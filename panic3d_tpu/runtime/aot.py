@@ -31,6 +31,7 @@ import re
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 from jax import export as jax_export
 
 from .checkpoint import load_checkpoint, save_checkpoint
@@ -137,6 +138,14 @@ def export_volume_decoder(
     from ..eval import volume as V
     from ..models.triplane import TriPlaneGenerator
 
+    if example_xin["z"].shape[0] != 1:
+        # The decode body processes batch-1 chunks and fmt() emits the
+        # documented [1, C, N, N, N] contract; larger served batches would
+        # silently mix planes across the batch.
+        raise ValueError(
+            "export_volume_decoder is batch-1 only (got batch="
+            f"{example_xin['z'].shape[0]}); export one bundle per portrait")
+
     bw = g.rk["box_warp"]
 
     def decode(variables, xin):
@@ -148,7 +157,7 @@ def export_volume_decoder(
         planes = g.apply(variables, ws, xin.get("cond"), noise_mode="const",
                          method=TriPlaneGenerator._planes_from_ws)
         if g.triplane_depth == 1:
-            from ..ops.grid_sample import pack_planes
+            from ..models.volumetric.renderer import pack_planes
 
             planes = pack_planes(planes)
 
@@ -245,6 +254,9 @@ def main(argv=None):
                     help="also export the mesh-path volume decode at this "
                          "lattice resolution (e.g. 256)")
     args = ap.parse_args(argv)
+    if args.volume_resolution and args.batch != 1:
+        ap.error("--volume-resolution requires --batch 1 "
+                 "(the volume decode contract is [1, C, N, N, N])")
 
     from .. import configs
     from .checkpoint import extract_generator_variables

@@ -98,6 +98,38 @@ def test_bundle_save_load_and_shape_check(tmp_path, tiny_g_vars):
         b(bad)
 
 
+@pytest.mark.fast
+def test_volume_decoder_export_roundtrip(tmp_path, tiny_g_vars):
+    """Bundle with volume decoder: export at resolution 8, reload via
+    ServingBundle.volume (regression for the missing module-level jnp
+    import in runtime/aot.py — the volume path NameError'd at trace time)."""
+    from panic3d_tpu.runtime.aot import export_volume_decoder
+
+    g, variables, xin = tiny_g_vars
+    path = str(tmp_path / "bundle")
+    save_serving_bundle(path, g, variables, xin,
+                        config={"model_kwargs": {"family": "tiny"}},
+                        volume_resolution=8,
+                        volume_kwargs=dict(chunk=128, triplane_crop=0.1,
+                                           cull_clouds=0.5))
+    b = ServingBundle(path)
+    out = b.volume(xin)
+    assert np.asarray(out["densities"]).shape == (1, 1, 8, 8, 8)
+    assert np.asarray(out["sigmas"]).shape == (1, 1, 8, 8, 8)
+    assert np.asarray(out["rgbs"]).shape[2:] == (8, 8, 8)
+    assert np.isfinite(np.asarray(out["rgbs"])).all()
+    # Round-trip is bit-equal to a fresh export's direct call.
+    e = export_volume_decoder(g, variables, xin, resolution=8, chunk=128,
+                              triplane_crop=0.1, cull_clouds=0.5)
+    want = e.call(variables, {"z": xin["z"], "cond": xin["cond"]})
+    np.testing.assert_array_equal(np.asarray(out["densities"]),
+                                  np.asarray(want["densities"]))
+    # Batch>1 is rejected up front (fmt() contract is [1, C, N, N, N]).
+    bad = dict(xin, z=jnp.zeros((2, TINY["z_dim"]), jnp.float32))
+    with pytest.raises(ValueError, match="batch-1"):
+        export_volume_decoder(g, variables, bad, resolution=8)
+
+
 def test_aot_cli_from_snapshot(tmp_path):
     """python -m panic3d_tpu.runtime.aot --ckpt ... --out ... end-to-end."""
     from panic3d_tpu import configs
