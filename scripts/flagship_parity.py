@@ -1,0 +1,226 @@
+"""One-shot flagship-shape oracle parity: torch reference vs JAX G.f.
+
+VERDICT r3 item 3: the end-to-end parity tests run at a tiny config
+(triplane_width=8, backbone 64²); this script runs the converted
+torch-vs-JAX diff ONCE at the real ecrutileE_eclustrousC shape —
+512² output, triplane_width 32, backbone 256² (channel_max 512),
+96+96 ray samples, fp32 both sides (reference fp16 is CUDA-gated off on
+CPU; render_dtype='float32' disables our bf16 render path) — and commits:
+
+  * tests/goldens/flagship_parity_golden.npz — the torch reference
+    outputs (64x64 average-pooled grids + per-key stats) + the exact
+    inputs, so tests/test_flagship_parity.py can re-verify the JAX side
+    against the oracle WITHOUT re-running torch (hours).
+  * FLAGSHIP_PARITY.json — the measured max|diff| per output key from
+    this run, quoted in PARITY.md.
+
+Run: nohup python scripts/flagship_parity.py > /tmp/flagship_parity.log &
+Reference shapes: triplane.py:313-508, eg3dc_v0.py:30-31,55-56,
+train_eclustrousC.py:189-203,397-440.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+
+RK = dict(
+    image_resolution=512,
+    disparity_space_sampling=False,
+    clamp_mode="softplus",
+    superresolution_module="training.superresolution.SuperresolutionHybrid8XDC",
+    c_gen_conditioning_zero=True,
+    c_scale=1.0,
+    superresolution_noise_mode="none",
+    density_reg=0.25,
+    density_reg_p_dist=0.004,
+    reg_type="l1",
+    decoder_lr_mul=1.0,
+    sr_antialias=True,
+    white_back=True,
+    triplane_depth=1,
+    use_triplane=True,
+    tanh_rgb_output=False,
+    box_warp=0.7,
+    ray_start=0.5,
+    ray_end=1.5,
+    depth_resolution=96,            # eval-mode doubling (eg3dc_v0.py:30-31)
+    depth_resolution_importance=96,
+    density_noise=0,
+    render_dtype="float32",
+)
+CFG = dict(
+    z_dim=512,
+    c_dim=25,
+    w_dim=512,
+    img_resolution=512,
+    img_channels=3,
+    sr_num_fp16_res=0,              # fp32 both sides
+    mapping_kwargs={"num_layers": 2},
+    cond_mode="ortho_front.add_shuffle2_4.reschonk_add_512",
+    triplane_width=32,
+    sr_channels_hidden=256,
+    backbone_resolution=256,
+)
+SYN = dict(channel_base=32768, channel_max=512, num_fp16_res=0)
+
+OUT_KEYS = ["image", "image_raw", "image_depth", "image_xyz", "image_weights"]
+
+GOLDEN = os.path.join(
+    os.path.dirname(__file__), "..", "tests", "goldens",
+    "flagship_parity_golden.npz",
+)
+SUMMARY = os.path.join(os.path.dirname(__file__), "..", "FLAGSHIP_PARITY.json")
+
+
+def make_inputs(seed=0, bs=2):
+    rng = np.random.RandomState(seed)
+    return dict(
+        z=rng.randn(bs, 512).astype(np.float32),
+        elevations=np.asarray([10.0, 0.0], np.float32)[:bs],
+        azimuths=np.asarray([30.0, 0.0], np.float32)[:bs],
+        distances=np.ones(bs, np.float32),
+        fovs=np.asarray([30.0, -1.0], np.float32)[:bs],  # pinhole + ortho
+        img=rng.rand(bs, 3, 512, 512).astype(np.float32),
+        chonk=rng.randn(bs, 512, 8, 8).astype(np.float32),
+    )
+
+
+def pool64(a):
+    """Average-pool trailing spatial dims to 64x64 (committable golden)."""
+    a = np.asarray(a, np.float64)
+    if a.ndim == 5 or a.shape[-1] <= 64:  # triplane left out / small
+        return a.astype(np.float32)
+    h, w = a.shape[-2:]
+    f = h // 64
+    return (
+        a.reshape(*a.shape[:-2], 64, f, 64, f).mean(axis=(-3, -1))
+    ).astype(np.float32)
+
+
+def main():
+    import torch
+
+    from ref_torch import deterministic_reference, load_reference_triplane
+
+    d = make_inputs()
+    t0 = time.time()
+    t = load_reference_triplane()
+    torch.manual_seed(0)
+    G = t.TriPlaneGenerator(rendering_kwargs=RK, **SYN, **CFG)
+    G.neural_rendering_resolution = 64
+    G.eval()
+    with torch.no_grad():
+        # random-init densities are uniformly thin; bias sigma up so
+        # weights / crop / cull produce non-degenerate spatial structure
+        G.decoder.net[2].bias[0] += 2.5
+    sd = {k: v.detach().numpy() for k, v in G.state_dict().items()}
+    print(f"[{time.time()-t0:.0f}s] reference built:",
+          sum(v.size for v in sd.values()), "params", flush=True)
+
+    x_t = {
+        "z": torch.tensor(d["z"]),
+        "elevations": torch.tensor(d["elevations"]),
+        "azimuths": torch.tensor(d["azimuths"]),
+        "distances": torch.tensor(d["distances"]),
+        "fovs": torch.tensor(d["fovs"]),
+        "cond": {
+            "image_ortho_front": torch.tensor(d["img"]),
+            "resnet_chonk": torch.tensor(d["chonk"]),
+        },
+        "triplane_crop": 0.1,
+        "cull_clouds": 0.5,
+    }
+    with deterministic_reference(G), torch.no_grad():
+        out_t = G.f(x_t)
+    print(f"[{time.time()-t0:.0f}s] torch forward done", flush=True)
+    gold = {}
+    for k in OUT_KEYS:
+        gold[f"t_{k}"] = pool64(out_t[k].detach().numpy())
+        gold[f"t_{k}_absmean"] = np.float32(
+            np.abs(out_t[k].detach().numpy()).mean()
+        )
+    assert float(out_t["image_weights"].numpy().std()) > 1e-3, "degenerate"
+
+    # --- JAX side ---
+    import jax
+    import jax.numpy as jnp
+
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+    from panic3d_tpu.runtime.checkpoint import convert_generator_state
+
+    g = TriPlaneGenerator(
+        rendering_kwargs=RK, synthesis_kwargs=SYN,
+        neural_rendering_resolution=64, **CFG,
+    )
+    x_j = {
+        "z": jnp.asarray(d["z"]),
+        "elevations": jnp.asarray(d["elevations"]),
+        "azimuths": jnp.asarray(d["azimuths"]),
+        "distances": jnp.asarray(d["distances"]),
+        "fovs": jnp.asarray(d["fovs"]),
+        "cond": {
+            "image_ortho_front": jnp.asarray(d["img"]),
+            "resnet_chonk": jnp.asarray(d["chonk"]),
+        },
+        "triplane_crop": 0.1,
+        "cull_clouds": 0.5,
+    }
+    tmpl = jax.tree_util.tree_map(
+        np.asarray,
+        jax.device_get(jax.eval_shape(
+            lambda: g.init({"params": jax.random.PRNGKey(0)}, x_j,
+                           method=TriPlaneGenerator.f, noise_mode="const")
+        )),
+    )
+    # eval_shape gives the tree structure without paying a full init run;
+    # convert_generator_state only reads shapes/names of the template
+    tmpl = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), tmpl
+    )
+    variables, converted, missing = convert_generator_state(sd, tmpl)
+    assert missing == [], missing
+    print(f"[{time.time()-t0:.0f}s] converted {len(converted)} tensors",
+          flush=True)
+
+    out_j = g.apply(variables, x_j, method=TriPlaneGenerator.f,
+                    noise_mode="const")
+    out_j = jax.device_get(out_j)
+    print(f"[{time.time()-t0:.0f}s] jax forward done", flush=True)
+
+    summary = {"config": "flagship fp32 512x512 tw32 bb256 96+96 bs2 "
+                         "pinhole+ortho crop0.1 cull0.5"}
+    for k in OUT_KEYS:
+        a = np.asarray(out_j[k], np.float32)
+        b = out_t[k].detach().numpy()
+        assert a.shape == b.shape, (k, a.shape, b.shape)
+        summary[k] = {
+            "maxdiff": float(np.abs(a - b).max()),
+            "meandiff": float(np.abs(a - b).mean()),
+            "ref_absmean": float(np.abs(b).mean()),
+        }
+        print(k, summary[k], flush=True)
+
+    os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+    np.savez_compressed(
+        GOLDEN,
+        seed=np.int64(0),
+        **{f"in_{k}": v for k, v in d.items()},
+        **gold,
+    )
+    with open(SUMMARY, "w") as f:
+        json.dump(summary, f, indent=1)
+    print(f"[{time.time()-t0:.0f}s] goldens written:", GOLDEN, flush=True)
+
+
+if __name__ == "__main__":
+    main()
