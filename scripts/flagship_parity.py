@@ -175,17 +175,14 @@ def main():
         "triplane_crop": 0.1,
         "cull_clouds": 0.5,
     }
-    tmpl = jax.tree_util.tree_map(
-        np.asarray,
-        jax.device_get(jax.eval_shape(
-            lambda: g.init({"params": jax.random.PRNGKey(0)}, x_j,
-                           method=TriPlaneGenerator.f, noise_mode="const")
-        )),
-    )
     # eval_shape gives the tree structure without paying a full init run;
     # convert_generator_state only reads shapes/names of the template
     tmpl = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), tmpl
+        lambda s: np.zeros(s.shape, s.dtype),
+        jax.eval_shape(
+            lambda: g.init({"params": jax.random.PRNGKey(0)}, x_j,
+                           method=TriPlaneGenerator.f, noise_mode="const")
+        ),
     )
     variables, converted, missing = convert_generator_state(sd, tmpl)
     assert missing == [], missing
