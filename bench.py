@@ -70,7 +70,12 @@ def main():
     # batches scale superlinearly in cost — gather working sets spill)
     
     bs = int(os.environ.get("BENCH_BATCH", "2"))
-    g = configs.flagship(eval_mode=True)
+    # BENCH_ESS=1 switches to the empty-space-skipping eval config (48+48
+    # samples re-concentrated into per-ray occupied intervals; equal or
+    # better effective sample spacing than the reference 96+96 quadrature —
+    # see configs.flagship and tests/test_ess.py)
+    ess = os.environ.get("BENCH_ESS", "0") == "1"
+    g = configs.flagship(eval_mode=True, ess=ess)
     xin = _flagship_inputs(g, bs=bs)
     # spread over turntable azimuths like eval.generate's spin12
     xin["azimuths"] = jnp.linspace(0.0, 330.0, bs)
@@ -80,66 +85,81 @@ def main():
         method=TriPlaneGenerator.f, noise_mode="const",
     )
 
-    # BENCH_PASTE=1 adds the eval.generate paste_params (front-paste
-    # compositing: two extra plane-reused volume renders per call)
-    paste = os.environ.get("BENCH_PASTE", "0") == "1"
+    # Both the paste-off forward AND the paste-on forward (the full
+    # eval.generate per-view workload, BASELINE.md eval settings include
+    # paste_params, reference generate.py:55-66) are measured every run;
+    # the paste-ON object is emitted LAST so the driver's parsed headline
+    # metric tracks the real workload. BENCH_PASTE=0/1 restricts to one.
     popts = dict(
         mode="default", thresh_weight=0.95, thresh_edges=0.02,
         thresh_occ=0.05, offset_occ=0.01, thresh_dxyz=0.000005,
-    ) if paste else None
-
-    @jax.jit
-    def forward(params, xin):
-        # eval-time density filters are static config, not traced inputs
-        xin = dict(xin, triplane_crop=0.1, cull_clouds=0.5)
-        if popts:
-            xin["paste_params"] = popts
-        out = g.apply(params, xin, method=TriPlaneGenerator.f, noise_mode="const")
-        # scalar checksum: forces execution to completion on platforms whose
-        # block_until_ready is lazy (axon tunnel), with an 8-byte host read
-        return out["image"], jnp.sum(out["image"])
-
-    # warmup / compile (float() forces full materialization)
-    img, chk = forward(params, xin)
-    float(chk)
+    )
+    which = os.environ.get("BENCH_PASTE", "both")
+    variants = {"0": [False], "1": [True]}.get(which, [False, True])
 
     n_iters = int(os.environ.get("BENCH_ITERS", "10"))
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        _, chk = forward(params, xin)
-        float(chk)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-
-    # sustained mode: queue all calls, sync once at the end. Calls execute
-    # in order on the single device stream, so reading the LAST checksum
-    # bounds them all; this hides the per-call host RPC latency of the
-    # tunnel, matching how eval.generate actually renders (many views per
-    # portrait, pipelined). Reported alongside the per-call number.
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        _, chk = forward(params, xin)
-    float(chk)
-    dt_sustained = (time.perf_counter() - t0) / n_iters
-
-    views_per_sec = bs / dt
     # derived torch-on-3080Ti estimate from measured anchors (docstring;
     # scripts/bench_torch_baseline.py): 0.140 views/s measured on CPU x299
     # spec ratio / 4 eager-GPU derate
     baseline = float(os.environ.get("BASELINE_VIEWS_PER_SEC", 10.0))
-    out = {
-        "metric": "render_512px_views_per_sec_per_chip",
-        "value": round(views_per_sec, 3),
-        "unit": "views/s",
-        "vs_baseline": round(views_per_sec / baseline, 3),
-        "views_per_sec_sustained": round(bs / dt_sustained, 3),
-    }
-    mfu = _mfu(forward, params, xin, dt)
-    if mfu:
-        out.update(mfu)
-    _bench_done.set()  # metric computed; disarm the tunnel watchdog
-    print(json.dumps(out))
+    lines = []
+    for paste in variants:
+
+        @jax.jit
+        def forward(params, xin, _paste=paste):
+            # eval-time density filters are static config, not traced inputs
+            xin = dict(xin, triplane_crop=0.1, cull_clouds=0.5)
+            if _paste:
+                xin["paste_params"] = popts
+            out = g.apply(params, xin, method=TriPlaneGenerator.f, noise_mode="const")
+            # scalar checksum: forces execution to completion on platforms
+            # whose block_until_ready is lazy (axon tunnel), with an 8-byte
+            # host read
+            return out["image"], jnp.sum(out["image"])
+
+        # warmup / compile (float() forces full materialization)
+        img, chk = forward(params, xin)
+        float(chk)
+
+        times = []
+        for _ in range(n_iters):
+            t0 = time.perf_counter()
+            _, chk = forward(params, xin)
+            float(chk)
+            times.append(time.perf_counter() - t0)
+        dt = float(np.median(times))
+
+        # sustained mode: queue all calls, sync once at the end. Calls
+        # execute in order on the single device stream, so reading the LAST
+        # checksum bounds them all; this hides the per-call host RPC latency
+        # of the tunnel, matching how eval.generate actually renders (many
+        # views per portrait, pipelined).
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            _, chk = forward(params, xin)
+        float(chk)
+        dt_sustained = (time.perf_counter() - t0) / n_iters
+
+        views_per_sec = bs / dt
+        out = {
+            "metric": (
+                "render_512px_paste_views_per_sec_per_chip"
+                if paste else "render_512px_views_per_sec_per_chip"
+            ) + ("_ess" if ess else ""),
+            "value": round(views_per_sec, 3),
+            "unit": "views/s",
+            "vs_baseline": round(views_per_sec / baseline, 3),
+            "views_per_sec_sustained": round(bs / dt_sustained, 3),
+            "paste_front": paste,
+        }
+        mfu = _mfu(forward, params, xin, dt)
+        if mfu:
+            out.update(mfu)
+        lines.append(json.dumps(out))
+
+    _bench_done.set()  # metrics computed; disarm the tunnel watchdog
+    for line in lines:
+        print(line)
 
 
 # peak dense-matmul TFLOP/s per chip (bf16), public spec sheets; override

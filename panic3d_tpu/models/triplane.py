@@ -243,6 +243,7 @@ class TriPlaneGenerator(nn.Module):
         ray_sharding=None,
         planes=None,
         skip_superresolution=False,
+        ess_occ=None,
         **synthesis_kwargs,
     ):
         """triplane.py:145-252. Returns the output dict.
@@ -277,6 +278,17 @@ class TriPlaneGenerator(nn.Module):
             )
 
         decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        if rk.get("ess"):
+            # empty-space-skipping occupancy depends only on the planes:
+            # compute once and share across every render of these planes
+            # (paste-front's auxiliary views, turntable loops)
+            if ess_occ is None:
+                ess_occ = vr.ess_occupancy(
+                    vr.generate_plane_axes(rk.get("use_triplane", False)),
+                    planes, decode_fn, rk["box_warp"], rk,
+                    triplane_crop, cull_clouds, binarize_clouds, N,
+                )
+            rk = dict(rk, _ess_occ=ess_occ)
         out = vr.render(
             planes, decode_fn, ray_origins, ray_directions, rk,
             key=render_key,
@@ -316,6 +328,8 @@ class TriPlaneGenerator(nn.Module):
             "image_weights": weights_image,
             "image_xyz": xyz_image,
         }
+        if ess_occ is not None:
+            ans["_ess_occ"] = ess_occ
         if rk.get("tanh_rgb_output", False):
             if ans["image"] is not None:
                 ans["image"] = jnp.tanh(ans["image"])
@@ -485,6 +499,7 @@ class TriPlaneGenerator(nn.Module):
             update_emas=x.get("update_emas", False),
             planes=x.get("_planes"),
             skip_superresolution=x.get("_skip_sr", False),
+            ess_occ=x.get("_ess_occ"),
             **synthesis_kwargs,
         )
         ret = {
@@ -496,6 +511,10 @@ class TriPlaneGenerator(nn.Module):
             "image_xyz": synth["image_xyz"],
             "normalize_images": normalize_images,
         }
+        if "_ess_occ" in synth:
+            # share the occupancy with paste-front's auxiliary renders (and
+            # callers looping views over the same planes, like "triplane")
+            ret["_ess_occ"] = synth["_ess_occ"]
         x.update(ret)
 
         if x.get("paste_params"):

@@ -224,6 +224,133 @@ def _apply_density_filters(
 
 
 # ---------------------------------------------------------------------------
+# empty-space skipping (TPU-native addition; no reference counterpart)
+#
+# The reference marches 96+96 samples uniformly over the full [0.5, 1.5]
+# interval (renderer.py:162-264 with the ecrutileE rendering config) even
+# though the scene is a head occupying a fraction of the 0.7 box — most
+# samples decode empty space. On TPU the render cost is the per-row gather
+# count (see PARITY.md "Gather roofline"), so the win is taken as a
+# quality-per-sample improvement: a coarse occupancy grid (decoded once per
+# set of planes) narrows each ray's [t0, t1] to the occupied span, letting a
+# smaller static sample budget match the reference's effective sample
+# spacing wherever density lives. Static shapes throughout: same tensor
+# shapes per config, narrower intervals per ray.
+
+def ess_occupancy(
+    plane_axes, planes, decode_fn, box_warp: float, options: dict,
+    triplane_crop, cull_clouds, binarize_clouds, n_batch: int,
+):
+    """Conservative occupancy for empty-space skipping.
+
+    Decodes sigma on a G³ cell-center lattice over the box (through the SAME
+    density filters the render applies), thresholds density, and dilates by
+    one cell (3³ max-pool) so any density a render sample could see marks a
+    cell. Returns (occ [N,G,G,G] float 0/1, occ_outside [] float 0/1 — the
+    zero-plane-feature density outside the box, where grid_sample pads
+    zeros).
+    """
+    ess = options["ess"]
+    G = int(ess.get("grid", 32))
+    thresh = float(ess.get("thresh", 0.01))
+    bw = box_warp
+    lin = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * bw - bw / 2
+    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    coords = jnp.stack([X, Y, Z], axis=-1).reshape(1, -1, 3)
+    coords = jnp.broadcast_to(coords, (n_batch, G ** 3, 3))
+    _, sigma = run_model(
+        plane_axes, planes, decode_fn, coords, bw,
+        options.get("triplane_depth", 1),
+    )
+    sigma = _apply_density_filters(
+        sigma, coords, bw, triplane_crop, cull_clouds, binarize_clouds
+    )
+    density = jax.nn.softplus(sigma.astype(jnp.float32) - 1)
+    occ = (density > thresh).astype(jnp.float32).reshape(n_batch, G, G, G)
+    occ = jax.lax.reduce_window(
+        occ, 0.0, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+
+    # outside the box the planes contribute zero features; the decoder's
+    # density there is a position-independent constant. triplane_crop is
+    # deliberately NOT applied (it would need a position) — conservative.
+    C = planes.shape[-1] // 4 if planes.ndim == 4 else (
+        planes.shape[2] // options.get("triplane_depth", 1)
+    )
+    zero_feats = jnp.zeros((1, plane_axes.shape[0], 1, C), planes.dtype)
+    _, sigma0 = decode_fn(zero_feats)
+    density0 = jax.nn.softplus(sigma0.astype(jnp.float32) - 1)
+    if binarize_clouds:
+        density0 = jnp.where(
+            cull_clouds_mask(sigma0.astype(jnp.float32), binarize_clouds),
+            0.0, jnp.inf,
+        ).reshape(-1)[0]
+    elif cull_clouds:
+        density0 = jnp.where(
+            cull_clouds_mask(sigma0.astype(jnp.float32), cull_clouds),
+            0.0, density0,
+        ).reshape(-1)[0]
+    else:
+        density0 = density0.reshape(-1)[0]
+    occ_outside = (density0 > thresh).astype(jnp.float32)
+    return jax.lax.stop_gradient(occ), jax.lax.stop_gradient(occ_outside)
+
+
+def ess_narrow_intervals(
+    occ, occ_outside, ray_origins, ray_directions,
+    ray_start, ray_end, box_warp: float, options: dict,
+):
+    """Per-ray [t0, t1] covering the occupied span (+margin taps).
+
+    K occupancy taps along each ray's current interval; the narrowed
+    interval spans the first..last occupied tap padded by `margin` tap
+    spacings. Tap spacing (interval/K) is kept below the occupancy cell size
+    by construction of the defaults (1.0/64 < 0.7/32 · dilation), so a ray
+    cannot step over an occupied dilated cell. Rays with no occupied tap
+    keep their full interval (they composite to background regardless).
+    Returns ([N,R,1] t0, [N,R,1] t1), stop-gradiented.
+    """
+    ess = options["ess"]
+    K = int(ess.get("taps", 64))
+    margin = float(ess.get("margin", 1))
+    N, R, _ = ray_origins.shape
+    G = occ.shape[-1]
+    if isinstance(ray_start, (int, float)):
+        rs = jnp.full((N, R, 1), float(ray_start), jnp.float32)
+        re = jnp.full((N, R, 1), float(ray_end), jnp.float32)
+    else:
+        rs = jnp.broadcast_to(ray_start, (N, R, 1)).astype(jnp.float32)
+        re = jnp.broadcast_to(ray_end, (N, R, 1)).astype(jnp.float32)
+    L = re - rs                                                  # [N,R,1]
+    frac = (jnp.arange(K, dtype=jnp.float32) + 0.5) / K
+    tk = rs + frac[None, None, :] * L                            # [N,R,K]
+    pts = (
+        ray_origins[:, :, None, :] + tk[..., None] * ray_directions[:, :, None, :]
+    )                                                            # [N,R,K,3]
+    gidx = jnp.floor((pts / box_warp + 0.5) * G).astype(jnp.int32)
+    inside = jnp.all((gidx >= 0) & (gidx < G), axis=-1)          # [N,R,K]
+    gc = jnp.clip(gidx, 0, G - 1)
+    flat = (gc[..., 0] * G + gc[..., 1]) * G + gc[..., 2]
+    flat = flat + (jnp.arange(N, dtype=jnp.int32) * G ** 3)[:, None, None]
+    occ_t = jnp.take(occ.reshape(-1), flat.reshape(-1)).reshape(N, R, K)
+    occ_t = jnp.where(inside, occ_t > 0, occ_outside > 0)        # [N,R,K] bool
+
+    kk = jnp.arange(K, dtype=jnp.float32)
+    first = jnp.min(jnp.where(occ_t, kk, jnp.inf), axis=-1)      # [N,R]
+    last = jnp.max(jnp.where(occ_t, kk, -jnp.inf), axis=-1)
+    hit = jnp.isfinite(first)
+    step = L[..., 0] / K
+    t0 = rs[..., 0] + jnp.maximum(first - margin, 0.0) * step
+    t1 = rs[..., 0] + jnp.minimum(last + 1 + margin, float(K)) * step
+    t0 = jnp.where(hit, t0, rs[..., 0])
+    t1 = jnp.where(hit, t1, re[..., 0])
+    return (
+        jax.lax.stop_gradient(t0[..., None]),
+        jax.lax.stop_gradient(t1[..., None]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sampling
 
 def sample_stratified(
@@ -514,6 +641,20 @@ def render(
             options.get("render_dtype", "bfloat16")
         ]
         planes = pack_planes(planes.astype(render_dtype_))
+    # empty-space skipping: the occupancy grid depends only on the planes,
+    # so it is computed ONCE here (hoisted out of the ray-chunk loop and
+    # shared by the coarse and importance passes) and threaded through
+    # options. Callers rendering several views from the SAME planes (paste
+    # compositing, turntables) may pre-seed options['_ess_occ'].
+    if options.get("ess") and "_ess_occ" not in options:
+        options = dict(
+            options,
+            _ess_occ=ess_occupancy(
+                generate_plane_axes(options.get("use_triplane", False)),
+                planes, decode_fn, options["box_warp"], options,
+                triplane_crop, cull_clouds, binarize_clouds, N,
+            ),
+        )
     ray_sharding = options.get("ray_sharding")
     if ray_sharding is not None:
         ray_origins = jax.lax.with_sharding_constraint(ray_origins, ray_sharding)
@@ -581,6 +722,13 @@ def render(
         ray_end = jnp.where(valid, ray_end, jnp.max(small))
     else:
         ray_start, ray_end = options["ray_start"], options["ray_end"]
+
+    if options.get("ess") and not options.get("disparity_space_sampling"):
+        occ, occ_out = options["_ess_occ"]
+        ray_start, ray_end = ess_narrow_intervals(
+            occ, occ_out, ray_origins, ray_directions,
+            ray_start, ray_end, box_warp, options,
+        )
 
     depths_coarse = sample_stratified(
         ray_origins, ray_start, ray_end, options["depth_resolution"],
