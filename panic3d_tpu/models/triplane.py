@@ -244,6 +244,7 @@ class TriPlaneGenerator(nn.Module):
         planes=None,
         skip_superresolution=False,
         ess_occ=None,
+        rays_z_aligned=False,
         **synthesis_kwargs,
     ):
         """triplane.py:145-252. Returns the output dict.
@@ -255,6 +256,8 @@ class TriPlaneGenerator(nn.Module):
         rk = self.rk
         if ray_sharding is not None:
             rk = dict(rk, ray_sharding=ray_sharding)
+        if rays_z_aligned:
+            rk = dict(rk, rays_z_aligned=True)
         res = neural_rendering_resolution or self.neural_rendering_resolution
         N = ws.shape[0]
 
@@ -500,6 +503,7 @@ class TriPlaneGenerator(nn.Module):
             planes=x.get("_planes"),
             skip_superresolution=x.get("_skip_sr", False),
             ess_occ=x.get("_ess_occ"),
+            rays_z_aligned=x.get("_rays_z_aligned", False),
             **synthesis_kwargs,
         )
         ret = {
@@ -550,6 +554,9 @@ class TriPlaneGenerator(nn.Module):
         if "triplane" in x:
             xin["_planes"] = x["triplane"]
         xin["_skip_sr"] = True
+        # rays constructed above are exactly +z: the (x,y)-plane gather
+        # collapses to one row per ray (run_model_z_aligned, bit-equal)
+        xin["_rays_z_aligned"] = True
         return self.f(xin, **(synthesis_kwargs or {}))["image_weights"]
 
     def _get_front_weights(self, x, synthesis_kwargs=None):

@@ -599,6 +599,41 @@ def run_model(plane_axes, planes, decode_fn, sample_coordinates,
     return rgb, sigma
 
 
+def run_model_z_aligned(plane_axes, packed, decode_fn, coordinates,
+                        R: int, S: int, box_warp: float):
+    """run_model for rays with EXACTLY z-aligned directions (d = (0,0,±1)).
+
+    Along such rays x and y are bitwise constant, so the (x,y)-plane
+    (plane 0 in both plane bases) resolves to ONE gather row per ray
+    instead of one per sample — gathers are row-rate-bound on TPU, so this
+    removes a third of the render's gather rows exactly (bit-equal output).
+    Used by paste-front's occlusion render, whose force_rays are constructed
+    +z (triplane.py _get_front_occlusion), and by pure-front-ortho batches.
+
+    coordinates must be ray-major [N, R*S, 3]; packed planes only.
+    """
+    N = coordinates.shape[0]
+    coords = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coords)        # [N,3,M,3]
+    M = R * S
+
+    # plane 0: per-ray points (sample 0 of each ray — identical across S)
+    pts0 = proj[:, 0, :, :2].reshape(N, R, S, 2)[:, :, 0]  # [N,R,2]
+    out0 = grid_sample_2d_points_packed(packed[0::3], pts0)  # [N,R,C]
+    C = out0.shape[-1]
+    out0 = jnp.broadcast_to(out0[:, :, None, :], (N, R, S, C)).reshape(N, M, C)
+
+    # planes 1, 2: full per-sample gathers
+    p12 = jnp.concatenate([packed[1::3], packed[2::3]], axis=0)  # [2N,...]
+    pts12 = proj[:, 1:, :, :2].transpose(1, 0, 2, 3).reshape(2 * N, M, 2)
+    out12 = grid_sample_2d_points_packed(p12, pts12)      # [2N,M,C]
+    out12 = out12.reshape(2, N, M, C).transpose(1, 0, 2, 3)
+
+    feats = jnp.concatenate([out0[:, None], out12], axis=1)  # [N,3,M,C]
+    rgb, sigma = decode_fn(feats)
+    return rgb, sigma
+
+
 def render(
     planes: jax.Array,            # [N, 3, C*D, H, W]
     decode_fn: Callable,
@@ -737,12 +772,25 @@ def render(
     )
     S = depths_coarse.shape[2]
 
+    z_aligned = (
+        options.get("rays_z_aligned", False)
+        and planes.ndim == 4
+        and ray_sharding is None
+    )
+
     def eval_pass(depths):
         n_samples = depths.shape[2]
         coords = (
             ray_origins[:, :, None, :] + depths * ray_directions[:, :, None, :]
         ).reshape(N, -1, 3)
-        rgb, sigma = run_model(plane_axes, planes, decode_fn, coords, box_warp, tdepth)
+        if z_aligned:
+            rgb, sigma = run_model_z_aligned(
+                plane_axes, planes, decode_fn, coords, R, n_samples, box_warp
+            )
+        else:
+            rgb, sigma = run_model(
+                plane_axes, planes, decode_fn, coords, box_warp, tdepth
+            )
         sigma = _apply_density_filters(
             sigma, coords, box_warp, triplane_crop, cull_clouds, binarize_clouds
         )

@@ -32,17 +32,25 @@ def main():
     from __graft_entry__ import _flagship_inputs
 
     bs = int(os.environ.get("BENCH_BATCH", "2"))
-    g = configs.flagship(eval_mode=True)
+    ess = os.environ.get("BENCH_ESS", "0") == "1"
+    paste = os.environ.get("BENCH_PASTE", "0") == "1"
+    g = configs.flagship(eval_mode=True, ess=ess)
     xin = _flagship_inputs(g, bs=bs)
     xin["azimuths"] = jnp.linspace(0.0, 330.0, bs)
     params = g.init(
         {"params": jax.random.PRNGKey(0)}, xin,
         method=TriPlaneGenerator.f, noise_mode="const",
     )
+    popts = dict(
+        mode="default", thresh_weight=0.95, thresh_edges=0.02,
+        thresh_occ=0.05, offset_occ=0.01, thresh_dxyz=0.000005,
+    ) if paste else None
 
     @jax.jit
     def forward(params, xin):
         xin = dict(xin, triplane_crop=0.1, cull_clouds=0.5)
+        if popts:
+            xin["paste_params"] = popts
         out = g.apply(params, xin, method=TriPlaneGenerator.f,
                       noise_mode="const")
         return out["image"], jnp.sum(out["image"])

@@ -35,7 +35,8 @@ def timed(name, fn, *args, iters=4):
 
 def main():
     bs = 2
-    g = configs.flagship(eval_mode=True)
+    ess = os.environ.get("BENCH_ESS", "0") == "1"
+    g = configs.flagship(eval_mode=True, ess=ess)
     xin = _flagship_inputs(g, bs=bs)
     params = g.init({"params": jax.random.PRNGKey(0)}, xin,
                     method=TriPlaneGenerator.f, noise_mode="const")
@@ -103,12 +104,24 @@ def main():
         out = g.apply(params, xin, method=TriPlaneGenerator.f, noise_mode="const")
         return jnp.sum(out["image"])
 
+    popts = dict(
+        mode="default", thresh_weight=0.95, thresh_edges=0.02,
+        thresh_occ=0.05, offset_occ=0.01, thresh_dxyz=0.000005,
+    )
+
+    @jax.jit
+    def paste_fn(params, xin):
+        xin = dict(xin, triplane_crop=0.1, cull_clouds=0.5, paste_params=popts)
+        out = g.apply(params, xin, method=TriPlaneGenerator.f, noise_mode="const")
+        return jnp.sum(out["image"])
+
     timed("mapping_zplus", map_fn, params)
     timed("mapping+backbone(planes)", planes_fn, params)
     timed("triplane sample only (192/ray)", sample_only_fn, planes0)
     timed("full hierarchical render", render_fn, params, planes0)
     timed("superresolution", sr_fn, params)
     timed("FULL G.f", full_fn, params, xin)
+    timed("FULL G.f + paste", paste_fn, params, xin)
 
 
 if __name__ == "__main__":

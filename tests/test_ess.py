@@ -143,6 +143,22 @@ def test_ess_same_budget_matches_plain():
     assert np.max(np.abs(w_e - w_p)) < 2e-3
 
 
+@pytest.mark.fast
+def test_z_aligned_fast_path_bit_equal():
+    """run_model_z_aligned (one (x,y)-plane gather row per ray) is
+    bit-identical to the generic path on exactly z-directed rays — the
+    rays paste-front's occlusion render uses."""
+    planes = _ramp_planes()
+    ro, rd = _rays()
+    base = _options(24, 24)
+    out_generic = vr.render(planes, _decode_fn, ro, rd, dict(base))
+    out_fast = vr.render(
+        planes, _decode_fn, ro, rd, dict(base, rays_z_aligned=True)
+    )
+    for a, b in zip(out_generic, out_fast):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.slow
 def test_ess_through_generator_f_with_paste():
     """ESS threads through the full G.f path (incl. paste-front's
