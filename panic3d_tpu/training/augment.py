@@ -11,7 +11,9 @@ Geometric warps run the reference's sym6-wavelet-filtered transform stack
 downsample, augment.py:273-308), oracle-tested against the torch pipe; the
 one deviation is a static pad margin (see execute_geometric_filtered).
 AugmentConfig(filtered=False) selects a cheap single bilinear resample
-instead. Color transforms, noise and cutout are exact.
+instead. Color transforms, imgfilter (frequency-band amplification through
+the sym2 filter bank, augment.py:176-185,382-411), noise and cutout are
+exact.
 """
 
 from __future__ import annotations
@@ -52,6 +54,9 @@ class AugmentConfig:
     # sym6 wavelet-filtered geometric execution (reference-exact); False
     # selects the cheap single bilinear resample
     filtered: bool = True
+    imgfilter: float = 0.0
+    imgfilter_bands: tuple = (1.0, 1.0, 1.0, 1.0)
+    imgfilter_std: float = 1.0
     noise: float = 0.0
     cutout: float = 0.0
     noise_std: float = 0.1
@@ -63,6 +68,14 @@ class AugmentConfig:
         return AugmentConfig(
             xflip=1, rotate90=1, xint=1, scale=1, rotate=1, aniso=1, xfrac=1,
             brightness=1, contrast=1, lumaflip=1, hue=1, saturation=1,
+        )
+
+    @staticmethod
+    def bgcfnc():
+        """The 'bgcfnc' preset: bgc + imgfilter + noise + cutout
+        (the reference's augpipe_specs table)."""
+        return dataclasses.replace(
+            AugmentConfig.bgc(), imgfilter=1, noise=1, cutout=1,
         )
 
 
@@ -99,6 +112,82 @@ WAVELET_SYM6 = np.asarray([
     0.3379294217276218, -0.07263752278646252, -0.021060292512300564,
     0.04472490177066578, 0.0017677118642428036, -0.007800708325034148,
 ], dtype=np.float32)
+
+
+# sym2 wavelet, basis of the image-space filter bank (augment.py:38,176-185)
+WAVELET_SYM2 = np.asarray([
+    -0.12940952255092145, 0.22414386804185735,
+    0.836516303737469, 0.48296291314469025,
+], dtype=np.float64)
+
+
+def _make_fbank(num_bands: int = 4) -> np.ndarray:
+    """4-band bandpass filter bank for image-space filtering
+    (augment.py:176-185): band 0 = lowpass, bands 1..3 split successive
+    octaves via the quadrature-mirror highpass."""
+    Hz_lo = WAVELET_SYM2
+    Hz_hi = Hz_lo * ((-1.0) ** np.arange(Hz_lo.size))
+    Hz_lo2 = np.convolve(Hz_lo, Hz_lo[::-1]) / 2
+    Hz_hi2 = np.convolve(Hz_hi, Hz_hi[::-1]) / 2
+    fb = np.eye(num_bands, 1)
+    for i in range(1, num_bands):
+        # zero-interleave (upsample the band layout by 2), then refine
+        fb = np.dstack([fb, np.zeros_like(fb)]).reshape(fb.shape[0], -1)[:, :-1]
+        fb = np.stack([np.convolve(row, Hz_lo2) for row in fb])
+        lo = (fb.shape[1] - Hz_hi2.size) // 2
+        fb[i, lo : lo + Hz_hi2.size] += Hz_hi2
+    return fb.astype(np.float32)
+
+
+HZ_FBANK = _make_fbank()
+# expected 1/f power of each band (augment.py:385)
+IMGFILTER_EXPECTED_POWER = np.asarray([10, 1, 1, 1], np.float32) / 13
+
+
+def apply_imgfilter(images, gains):
+    """Per-sample separable band-amplification filter (augment.py:400-411).
+
+    gains [N, 4] band gains -> combined 1D filter Hz' = gains @ HZ_FBANK,
+    applied horizontally then vertically (cross-correlation, matching torch
+    conv2d) over a reflect-padded image, one filter per (sample, channel).
+    """
+    N, C, H, W = images.shape
+    Hz_prime = gains @ jnp.asarray(HZ_FBANK)            # [N, taps]
+    taps = HZ_FBANK.shape[1]
+    pad = taps // 2
+    w_h = jnp.repeat(Hz_prime[:, None, :], C, axis=1).reshape(N * C, 1, 1, taps)
+    x = jnp.pad(images, ((0, 0), (0, 0), (pad, pad), (pad, pad)), mode="reflect")
+    x = x.reshape(1, N * C, H + 2 * pad, W + 2 * pad)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w_h.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, w_h, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=N * C
+    )
+    w_v = w_h.reshape(N * C, 1, taps, 1)
+    x = jax.lax.conv_general_dilated(
+        x, w_v, (1, 1), "VALID", dimension_numbers=dn, feature_group_count=N * C
+    )
+    return x.reshape(N, C, H, W)
+
+
+def imgfilter_gains(key, N: int, p: float, cfg: "AugmentConfig"):
+    """Sample the [N, 4] per-band gain matrix (augment.py:387-398): each
+    band amplified by exp2(N(0,std)) with probability imgfilter*p*band,
+    power-normalized against the expected 1/f spectrum."""
+    expected_power = jnp.asarray(IMGFILTER_EXPECTED_POWER)
+    gains = jnp.ones((N, 4), jnp.float32)
+    bkeys = jax.random.split(key, 8)
+    for i, band_strength in enumerate(cfg.imgfilter_bands):
+        t_i = jnp.exp2(jax.random.normal(bkeys[2 * i], (N,)) * cfg.imgfilter_std)
+        on = jax.random.uniform(bkeys[2 * i + 1], (N,)) < (
+            cfg.imgfilter * p * band_strength
+        )
+        t_i = jnp.where(on, t_i, 1.0)
+        t = jnp.ones((N, 4), jnp.float32).at[:, i].set(t_i)
+        t = t / jnp.sqrt(
+            jnp.sum(expected_power * t ** 2, axis=-1, keepdims=True)
+        )
+        gains = gains * t
+    return gains
 
 
 def _const2(m):
@@ -166,7 +255,7 @@ def execute_geometric_filtered(images, Ginv_norm, margin: Optional[int] = None):
 def augment_pipe(images, key, p: float, cfg: AugmentConfig = AugmentConfig.bgc()):
     """Apply probability-p augmentations to NCHW images in [-1,1]."""
     N, C, H, W = images.shape
-    keys = jax.random.split(key, 16)
+    keys = jax.random.split(key, 17)
     G = jnp.broadcast_to(jnp.eye(3), (N, 3, 3))
 
     def gate(k, prob):
@@ -294,6 +383,10 @@ def augment_pipe(images, key, p: float, cfg: AugmentConfig = AugmentConfig.bgc()
         else:
             raise ValueError(f"color transform needs C in (1, 3k); got {C}")
         images = out.reshape(N, C, H, W)
+
+    # image-space filtering (frequency-band amplification, augment.py:382-411)
+    if cfg.imgfilter > 0:
+        images = apply_imgfilter(images, imgfilter_gains(keys[16], N, p, cfg))
 
     # noise + cutout
     if cfg.noise > 0:

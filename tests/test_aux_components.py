@@ -216,6 +216,76 @@ def test_filtered_warp_matches_torch_ada_rotation():
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
 
 
+def test_save_animation_mp4_roundtrip(tmp_path):
+    """mp4 writer (reference VideoWriterCV2, video_v1.py:183-217): frames
+    round-trip through cv2.VideoCapture with the right count and size."""
+    import cv2
+
+    from panic3d_tpu.eval.video import save_animation
+
+    rng = np.random.RandomState(0)
+    frames = [rng.rand(3, 32, 48).astype(np.float32) for _ in range(5)]
+    p = save_animation(frames, str(tmp_path / "spin.mp4"), fps=12)
+    cap = cv2.VideoCapture(p)
+    assert cap.isOpened()
+    n = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        assert frame.shape == (32, 48, 3)
+        n += 1
+    cap.release()
+    assert n == 5
+
+
+def test_imgfilter_matches_torch_ada():
+    """apply_imgfilter + the filter bank vs the reference AugmentPipe's
+    imgfilter path (augment.py:382-411) under deterministic
+    debug_percentile parameters."""
+    import sys
+
+    import torch
+
+    from tests.ref_torch import SRC
+
+    if SRC not in sys.path:
+        sys.path.insert(0, SRC)
+    import training.augment as ref_aug
+
+    from panic3d_tpu.training.augment import (
+        HZ_FBANK,
+        IMGFILTER_EXPECTED_POWER,
+        apply_imgfilter,
+    )
+
+    pipe = ref_aug.AugmentPipe(imgfilter=1.0, imgfilter_std=1.0)
+    np.testing.assert_allclose(
+        HZ_FBANK, pipe.Hz_fbank.numpy(), rtol=0, atol=1e-7
+    )
+
+    rng = np.random.RandomState(3)
+    x = rng.randn(2, 3, 32, 32).astype(np.float32)
+    q = 0.75
+    pipe.p.copy_(torch.as_tensor(1.0))
+    with torch.no_grad():
+        want = pipe(torch.tensor(x), debug_percentile=q).numpy()
+
+    # the deterministic debug gains: every band amplified by the same
+    # erfinv-percentile factor, power-normalized per band
+    t_i = float(torch.exp2(torch.erfinv(torch.tensor(q * 2 - 1.0))))
+    gains = np.ones((2, 4), np.float32)
+    for i in range(4):
+        t = np.ones((2, 4), np.float32)
+        t[:, i] = t_i
+        t = t / np.sqrt(
+            (IMGFILTER_EXPECTED_POWER * t ** 2).sum(-1, keepdims=True)
+        )
+        gains = gains * t
+    got = np.asarray(apply_imgfilter(jnp.asarray(x), jnp.asarray(gains)))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_rmline_train_loop_steps():
     """Dual-Adam patch-GAN training drives losses finite and moves params
     (rmlineganA.py:209-233 role, collapsed into one jitted step)."""
