@@ -114,16 +114,34 @@ def lerpspin(G, variables, xin_base: dict, zs, n: int = 60, batch: int = 12,
 
 
 def save_animation(frames: List[np.ndarray], path: str, fps: int = 15):
-    """Save [3,H,W]-float frames as gif or webp via PIL."""
-    from PIL import Image
+    """Save [3,H,W]-float frames as gif/webp (PIL) or mp4 (cv2).
 
+    The mp4 path mirrors the reference's VideoWriterCV2
+    (`_util/video_v1.py:183-217`: cv2.VideoWriter, MP4V fourcc, RGB->BGR
+    per frame); gif/webp mirror write_gif/write_webp (video_v1.py:120-165).
+    """
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    imgs = [
-        Image.fromarray(
-            (np.clip(f, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
-        )
+    u8 = [
+        (np.clip(f, 0, 1).transpose(1, 2, 0) * 255).astype(np.uint8)
         for f in frames
     ]
+    if path.lower().endswith(".mp4"):
+        import cv2
+
+        h, w = u8[0].shape[:2]
+        vw = cv2.VideoWriter(
+            path, cv2.VideoWriter_fourcc(*"MP4V"), fps, (w, h)
+        )
+        try:
+            for f in u8:
+                vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+        finally:
+            vw.release()
+        return path
+
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in u8]
     imgs[0].save(
         path, save_all=True, append_images=imgs[1:],
         duration=int(1000 / fps), loop=0,
