@@ -28,7 +28,11 @@ import numpy as np
 
 from ..cameras.conventions import camera_label, get_rays_ortho
 from ..cameras.rays import sample_rays
-from ..ops.grid_sample import grid_sample_2d
+from ..ops.grid_sample import (
+    grid_sample_2d,
+    grid_sample_2d_points_packed_border,
+    pack_bilinear_2d,
+)
 from ..utils.imageops import erosion, resize_nearest, sobel_magnitude
 from .stylegan2 import FullyConnectedLayer, Generator, resize_bilinear
 from .superresolution import SR_MODULES
@@ -533,12 +537,18 @@ class TriPlaneGenerator(nn.Module):
     # -- paste-front compositing (triplane.py:553-691) ----------------------
 
     def _sample_orthofront(self, front_rgb, view_xyz, bw):
+        # corner-packed border sampling: ONE row gather per output pixel
+        # instead of four (the 512^2 projection is row-rate-bound like the
+        # renderer's gathers); bit-equal to the unpacked border path
         vij = 1 - (view_xyz[:, [1, 0]] + bw / 2) / bw
-        return grid_sample_2d(
-            front_rgb.transpose(0, 1, 3, 2),
-            vij.transpose(0, 2, 3, 1) * 2 - 1,
-            padding_mode="border",
+        img = front_rgb.transpose(0, 1, 3, 2)
+        N, C = img.shape[:2]
+        Hg, Wg = vij.shape[-2:]
+        packed = pack_bilinear_2d(img)
+        out = grid_sample_2d_points_packed_border(
+            packed, (vij.transpose(0, 2, 3, 1) * 2 - 1).reshape(N, -1, 2)
         )
+        return out.transpose(0, 2, 1).reshape(N, C, Hg, Wg)
 
     def _get_front_occlusion(self, x, out, offset=0.01, synthesis_kwargs=None):
         ro = out["image_xyz"] * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]

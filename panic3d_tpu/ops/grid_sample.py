@@ -147,6 +147,45 @@ def grid_sample_2d_points_packed(packed, points, align_corners=False):
     return out.reshape(Np, P, C)
 
 
+def grid_sample_2d_points_packed_border(packed, points, align_corners=False):
+    """Border-padding sampling of a pack_bilinear_2d output -> [N,P,C].
+
+    Border semantics via coordinate clamping: clipping the CONTINUOUS
+    unnormalized coordinate to [0, size-1] before floor reproduces
+    torch's border mode exactly (outside points collapse both corners of
+    the straddled axis onto the edge texel with weight 1). The lerp uses
+    the same association as grid_sample_2d_points, so results are
+    bit-equal to the unpacked border path. One row gather per point
+    instead of four — the paste-front compositor's 512^2 front-projection
+    (triplane.py _sample_orthofront) is row-rate-bound like the renderer.
+    """
+    Np, Hp1, Wp1, C4 = packed.shape
+    H, W, C = Hp1 - 1, Wp1 - 1, C4 // 4
+    P = points.shape[1]
+    dtype = packed.dtype
+    flat = packed.reshape(Np * Hp1 * Wp1, C4)
+
+    ix = _unnormalize(points[..., 0].astype(jnp.float32), W, align_corners)
+    iy = _unnormalize(points[..., 1].astype(jnp.float32), H, align_corners)
+    ix = jnp.clip(ix, 0, W - 1)
+    iy = jnp.clip(iy, 0, H - 1)
+    ix0f = jnp.floor(ix)
+    iy0f = jnp.floor(iy)
+    wx1 = (ix - ix0f).reshape(-1, 1).astype(dtype)
+    wy1 = (iy - iy0f).reshape(-1, 1).astype(dtype)
+    bx = ix0f.astype(jnp.int32) + 1
+    by = iy0f.astype(jnp.int32) + 1
+    base = (jnp.arange(Np, dtype=jnp.int32) * (Hp1 * Wp1))[:, None]
+    lin = base + by * Wp1 + bx
+    rows = jnp.take(flat, lin.reshape(-1), axis=0)  # [Np*P, 4C]
+
+    v00, v01 = rows[:, :C], rows[:, C: 2 * C]
+    v10, v11 = rows[:, 2 * C: 3 * C], rows[:, 3 * C:]
+    top = v00 + (v01 - v00) * wx1
+    bot = v10 + (v11 - v10) * wx1
+    return (top + (bot - top) * wy1).reshape(Np, P, C)
+
+
 def grid_sample_2d(input, grid, padding_mode="zeros", align_corners=False):
     """torch-layout API: grid [N,Hg,Wg,2] -> [N,C,Hg,Wg]."""
     N, C, H, W = input.shape

@@ -330,3 +330,36 @@ def test_packed_gather_gradients_flow():
     gx, gp = jax.grad(loss, argnums=(0, 1))(x, pts)
     assert np.isfinite(np.asarray(gx)).all() and float(jnp.abs(gx).sum()) > 0
     assert np.isfinite(np.asarray(gp)).all() and float(jnp.abs(gp).sum()) > 0
+
+
+def test_packed_border_gather_bit_equals_unpacked_border():
+    """grid_sample_2d_points_packed_border == the unpacked border path
+    bitwise (paste-front's _sample_orthofront projection), including
+    out-of-range points collapsing onto edge texels, and matches torch
+    grid_sample(padding_mode='border')."""
+    from panic3d_tpu.ops.grid_sample import (
+        grid_sample_2d_points,
+        grid_sample_2d_points_packed_border,
+        pack_bilinear_2d,
+    )
+
+    rng = np.random.RandomState(7)
+    N, C, H, W = 2, 3, 17, 23
+    x = rng.randn(N, C, H, W).astype(np.float32)
+    pts = rng.uniform(-1.6, 1.6, (N, 257, 2)).astype(np.float32)
+
+    want = np.asarray(
+        grid_sample_2d_points(jnp.asarray(x), jnp.asarray(pts), "border")
+    )
+    got = np.asarray(
+        grid_sample_2d_points_packed_border(
+            pack_bilinear_2d(jnp.asarray(x)), jnp.asarray(pts)
+        )
+    )
+    np.testing.assert_array_equal(got, want)
+
+    ref = F.grid_sample(
+        torch.tensor(x), torch.tensor(pts)[:, :, None, :],
+        mode="bilinear", padding_mode="border", align_corners=False,
+    )[..., 0].permute(0, 2, 1).numpy()
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
