@@ -89,7 +89,8 @@ def flagship(eval_mode: bool = False, ess: bool = False,
     return TriPlaneGenerator(**kwargs)
 
 
-def from_snapshot_config(config, eval_mode: bool = False) -> TriPlaneGenerator:
+def from_snapshot_config(config, eval_mode: bool = False,
+                         ess: bool = False) -> TriPlaneGenerator:
     """Rebuild the generator a trainer snapshot was trained with.
 
     Prefers the explicit `model_kwargs` dict the trainer stores in the
@@ -104,20 +105,20 @@ def from_snapshot_config(config, eval_mode: bool = False) -> TriPlaneGenerator:
         if family == "tiny":
             mk.setdefault("force_sigmoid", eval_mode)
             return tiny(**mk)
-        return flagship(eval_mode=eval_mode, **mk)
+        return flagship(eval_mode=eval_mode, ess=ess, **mk)
     if config.get("tiny"):
         return tiny(cond_mode="ortho_front.add_4.reschonk_add_16",
                     force_sigmoid=eval_mode)
     if "cond_mode" in config:
         return flagship(
-            eval_mode=eval_mode,
+            eval_mode=eval_mode, ess=ess,
             cond_mode=config["cond_mode"],
             triplane_width=config.get("triplane_width", 32),
             backbone_resolution=config.get("backbone_resolution", 256),
             img_resolution=config.get("resolution", 512),
             rendering_kwargs=dict(triplane_depth=config.get("triplane_depth", 1)),
         )
-    return flagship(eval_mode=eval_mode)
+    return flagship(eval_mode=eval_mode, ess=ess)
 
 
 def tiny(**overrides) -> TriPlaneGenerator:

@@ -183,6 +183,11 @@ def main(argv=None):
     ap.add_argument("--view-batch", type=int, default=2,
                     help="views rendered per jitted call (2 = per-chip "
                          "optimum at 512², bench.py)")
+    ap.add_argument("--no-ess", action="store_true",
+                    help="disable empty-space skipping and render the "
+                         "reference's uniform 96+96 quadrature "
+                         "(settings-parity runs; ESS is quality-per-sample "
+                         "proven >= it, tests/test_ess.py)")
     args = ap.parse_args(argv)
 
     opts = dict(INFERENCE_OPTS)
@@ -199,7 +204,8 @@ def main(argv=None):
 
         state, config = load_checkpoint(args.ckpt)
         variables = extract_generator_variables(state)
-        g = configs.from_snapshot_config(config, eval_mode=True)
+        g = configs.from_snapshot_config(
+            config, eval_mode=True, ess=not args.no_ess)
 
     dk = DatabackendMinna(args.data)
     subset_csv = os.path.join(

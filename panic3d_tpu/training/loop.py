@@ -241,6 +241,63 @@ def build_train_step(
                         dict(state.vars_G, params=p), mb, z, k
                     )
                 state, s = g_phase_update(state, fn, pk, batch, gen_z, gen_c)
+            elif phase == "Grecon-seq":
+                # shared-trunk per-view gradients + SEQUENTIAL per-view Adam
+                # updates (the default fused mode): reference optimizer
+                # granularity at ~one backbone backward's bandwidth
+                # (loss.g_cond_seq_grads; vmapped trunk VJP)
+                def seq_grads(params, mb, z_, k):
+                    pv = loss.g_cond_seq_grads(
+                        dict(state.vars_G, params=params), mb, z_, k,
+                        remat=train_cfg.remat,
+                    )
+                    return [(v, _nan_to_num_tree(g), st) for v, g, st in pv]
+
+                if n_micro == 1:
+                    per_view = seq_grads(state.vars_G["params"], batch, gen_z, pk)
+                else:
+                    keys = jax.random.split(pk, n_micro)
+                    per_view = None
+                    for i in range(n_micro):
+                        mb = jax.tree_util.tree_map(
+                            lambda x: x[i::n_micro], batch
+                        )
+                        pv = seq_grads(
+                            state.vars_G["params"], mb, gen_z[i::n_micro],
+                            keys[i],
+                        )
+                        if per_view is None:
+                            per_view = pv
+                        else:
+                            per_view = [
+                                (v, jax.tree_util.tree_map(jnp.add, g0, g1),
+                                 {k: s0[k] + s1[k] for k in s0})
+                                for (v, g0, s0), (_, g1, s1)
+                                in zip(per_view, pv)
+                            ]
+                    if not train_cfg.accum_sum:
+                        per_view = [
+                            (v, jax.tree_util.tree_map(
+                                lambda x: x / n_micro, g), st)
+                            for v, g, st in per_view
+                        ]
+                    per_view = [
+                        (v, g, {k: s / n_micro for k, s in st.items()})
+                        for v, g, st in per_view
+                    ]
+                s = {}
+                for _, g_v, stats_v in per_view:
+                    updates, new_opt = opt_G.update(
+                        g_v, state.opt_G, state.vars_G["params"]
+                    )
+                    params = optax.apply_updates(
+                        state.vars_G["params"], updates
+                    )
+                    state = state.replace(
+                        vars_G=dict(state.vars_G, params=params),
+                        opt_G=new_opt,
+                    )
+                    s.update(stats_v)
             elif phase in ("Gcond", "Gside-left", "Gside-right", "Gside-back",
                            "Grand"):
                 view = {

@@ -393,6 +393,128 @@ class OrthoCondLoss:
             stats[f"Loss/G/{v}"] = lv
         return total, stats
 
+    def g_cond_seq_grads(self, vars_G, batch, z, key, remat=None):
+        """Per-view recon gradients from ONE shared backbone walk
+        (`--fuse-recon seq`, the default fused mode).
+
+        Resolves the optimizer-granularity deviation of g_cond_fused_loss
+        (VERDICT r3 #4c): every active ortho view gets its OWN gradient —
+        consumed by the loop as SEQUENTIAL per-view Adam updates, matching
+        the reference's per-phase stepping — while the expensive shared
+        trunk (mapping + backbone synthesis) is walked once:
+
+        - forward: trunk(params) -> (ws, planes) via jax.vjp (one pass);
+        - per view: render+SR branch forward+backward at batch n with the
+          planes as an INPUT (backbone params unused -> zero grads there),
+          yielding branch param grads + cotangents onto (ws, planes);
+        - backbone backward: ONE jax.vmap of the trunk VJP over the V
+          stacked cotangents. The VJP re-reads each activation once for
+          all views together (the HBM-bound part, r3 roofline) and only
+          the weight-gradient contractions scale with V — on a
+          bandwidth-pinned step that is nearly the price of a single
+          backward instead of V of them.
+
+        The one remaining deviation from separate phases is that all V
+        gradients are evaluated at the SAME (pre-update) params rather
+        than each at its predecessor's output — the standard stale-grad
+        approximation, exact to O(lr^2), equivalence-tested in
+        tests/test_fuse_recon_seq.py.
+
+        Returns [(view, grads_tree, stats)] with grads over
+        vars_G['params'].
+        """
+        cfg = self.cfg
+        assert cfg.paste_params is None, "fused recon incompatible with paste"
+        cond = batch["cond"]
+        views = self.fused_recon_views()
+        n = z.shape[0]
+        k_planes, k_f = jax.random.split(key)
+        c_front = cond["image_ortho_front_camera"]
+        az = {"front": 0.0, "left": 90.0, "right": -90.0, "back": 180.0}
+
+        def trunk(p):
+            vg = dict(vars_G, params=p)
+            ws = self.G_mapping(vg, z, c_front, cond)
+            planes = self.G_planes(vg, ws, cond, k_planes)
+            return ws, planes
+
+        def make_branch(view):
+            def branch(p, ws_in, planes_in, k_v):
+                vg = dict(vars_G, params=p)
+                xin = {
+                    "ws": ws_in,
+                    "cond": cond,
+                    "_planes": planes_in,
+                    "camera_params": cond[f"image_ortho_{view}_camera"],
+                    "elevations": jnp.zeros(n),
+                    "azimuths": az[view] * jnp.ones(n),
+                    "distances": jnp.ones(n),
+                }
+                out = self.G_f(vg, xin, k_v)
+                l_lp, l_l1, l_a, l_d = recon_view_losses(
+                    out, cond[f"image_ortho_{view}"],
+                    cond[f"image_ortho_{view}_alpha"],
+                    cond[f"image_ortho_{view}_xyz"], self.lpips_fn,
+                    depth_axis=0 if view in ("left", "right") else 2,
+                )
+                if view == "front":
+                    lam = (cfg.lambda_gcond_lpips, cfg.lambda_gcond_l1,
+                           cfg.lambda_gcond_alpha_l2, cfg.lambda_gcond_depth_l2)
+                elif view == "back":
+                    lam = (cfg.lambda_gcond_back_lpips, cfg.lambda_gcond_back_l1,
+                           cfg.lambda_gcond_back_alpha_l2,
+                           cfg.lambda_gcond_back_depth_l2)
+                else:
+                    lam = (cfg.lambda_gcond_sides_lpips, cfg.lambda_gcond_sides_l1,
+                           cfg.lambda_gcond_sides_alpha_l2,
+                           cfg.lambda_gcond_sides_depth_l2)
+                loss_v = (lam[0] * l_lp + lam[1] * l_l1 + lam[2] * l_a
+                          + lam[3] * l_d)
+                stats = {
+                    f"Loss/G/{view}/lpips": l_lp,
+                    f"Loss/G/{view}/l1": l_l1,
+                    f"Loss/G/{view}/alpha_l2": l_a,
+                    f"Loss/G/{view}/depth_l2": l_d,
+                    f"Loss/G/{view}": loss_v,
+                }
+                return loss_v, stats
+
+            return branch
+
+        policy = None
+        trunk_fn = trunk
+        if remat:
+            policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                      if remat == "dots" else None)
+            trunk_fn = jax.checkpoint(trunk, policy=policy)
+
+        (ws, planes), trunk_vjp = jax.vjp(trunk_fn, vars_G["params"])
+
+        g_branch, c_ws, c_planes, statss = [], [], [], []
+        for i, v in enumerate(views):
+            branch_fn = make_branch(v)
+            if remat:
+                branch_fn = jax.checkpoint(branch_fn, policy=policy)
+            k_v = jax.random.fold_in(k_f, i)
+            (gp, gw, gpl), stats_v = jax.grad(
+                branch_fn, argnums=(0, 1, 2), has_aux=True
+            )(vars_G["params"], ws, planes, k_v)
+            g_branch.append(gp)
+            c_ws.append(gw)
+            c_planes.append(gpl)
+            statss.append(stats_v)
+
+        # ONE vmapped backbone backward over the V stacked cotangents
+        g_trunk = jax.vmap(lambda cw, cp: trunk_vjp((cw, cp))[0])(
+            jnp.stack(c_ws), jnp.stack(c_planes)
+        )
+        out = []
+        for i, v in enumerate(views):
+            g_t = jax.tree_util.tree_map(lambda t, i=i: t[i], g_trunk)
+            g_v = jax.tree_util.tree_map(jnp.add, g_branch[i], g_t)
+            out.append((v, g_v, statss[i]))
+        return out
+
     # -- adversarial helpers --------------------------------------------------
 
     def run_G(self, params_G, z, c, cond, key, swapping_prob,

@@ -68,9 +68,14 @@ def parse_args(argv=None):
     ap.add_argument("--density-reg", type=float, default=0.25)
     ap.add_argument("--reg-type", default="l1")
     # TPU efficiency: fold the ortho recon phases (Gcond/Gside-*) into one
-    # shared-backbone pass with a single Adam step (roofline-driven; the
-    # per-view lambdas/losses are identical, only the step grouping differs)
-    ap.add_argument("--fuse-recon", action="store_true")
+    # shared-backbone pass (roofline-driven; the per-view lambdas/losses are
+    # identical). Modes: 'seq' (default when eligible) keeps the reference's
+    # per-view sequential Adam stepping via per-view grads from a vmapped
+    # trunk VJP (loss.g_cond_seq_grads); 'sum' is the r3 single-Adam-step
+    # variant; 'off' runs the separate per-view phases; 'auto' picks seq
+    # when the mapping is camera-free, else off.
+    ap.add_argument("--fuse-recon", nargs="?", const="seq", default="auto",
+                    choices=["auto", "off", "sum", "seq"])
     # path-length regularization (the pl_* options the reference loss keeps,
     # loss.py:44-48; Gpl rides the Greg lazy-reg interval)
     ap.add_argument("--pl-weight", type=float, default=0.0)
@@ -464,21 +469,23 @@ def main(argv=None):
     phases = ["Gmain"]
     c = loss_cfg
     recon_views = active_recon_views(c)
-    if args.fuse_recon:
-        # the active ortho recon views fold into ONE shared-backbone phase
-        # (roofline-driven TPU option; one Adam step for the group).
-        # g_cond_fused_loss maps every view's ws from the front camera,
-        # which only equals the per-phase objective when the mapping is
-        # camera-free — the flagship default.
-        if not (g.rk.get("c_gen_conditioning_zero", False)
-                or g.rk.get("c_scale", 1.0) == 0):
-            raise SystemExit(
-                "--fuse-recon requires c_gen_conditioning_zero (or "
-                "c_scale=0): with a camera-conditioned mapping the fused "
-                "phase would optimize a different objective than the "
-                "separate Gcond/Gside phases")
+    # fused recon eligibility: the fused phases map every view's ws from the
+    # front camera, which only equals the per-phase objective when the
+    # mapping is camera-free — the flagship default
+    fuse_eligible = (g.rk.get("c_gen_conditioning_zero", False)
+                     or g.rk.get("c_scale", 1.0) == 0)
+    fuse = args.fuse_recon
+    if fuse == "auto":
+        fuse = "seq" if fuse_eligible else "off"
+    if fuse in ("sum", "seq") and not fuse_eligible:
+        raise SystemExit(
+            "--fuse-recon requires c_gen_conditioning_zero (or "
+            "c_scale=0): with a camera-conditioned mapping the fused "
+            "phase would optimize a different objective than the "
+            "separate Gcond/Gside phases")
+    if fuse in ("sum", "seq"):
         if recon_views:
-            phases.append("Grecon-fused")
+            phases.append("Grecon-fused" if fuse == "sum" else "Grecon-seq")
     else:
         if "front" in recon_views:
             phases.append("Gcond")

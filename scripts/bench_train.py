@@ -87,9 +87,11 @@ def main():
     ap.add_argument("--remat", default=None, choices=["full", "dots"],
                     help="rematerialize phase losses in backward "
                          "(HBM-roofline experiment)")
-    ap.add_argument("--fuse-recon", action="store_true",
-                    help="one shared-backbone recon phase instead of "
-                         "Gcond/Gside-* (the roofline-driven optimization)")
+    ap.add_argument("--fuse-recon", nargs="?", const="seq", default="off",
+                    choices=["off", "sum", "seq"],
+                    help="shared-backbone recon instead of Gcond/Gside-*: "
+                         "'sum' = one Adam step, 'seq' = per-view "
+                         "sequential Adam via vmapped trunk VJP")
     ap.add_argument("--phases", default=None,
                     help="comma-separated phase subset (e.g. 'Gmain,Dmain') "
                          "— cheap targeted roofline probes without the full "
@@ -156,8 +158,10 @@ def main():
     loss = make_loss(g, d, init_lpips(), cfg, noise_mode="const")
     tcfg = TrainConfig(batch_size=bs, remat=args.remat)
     state = init_state(vars_G, vars_D, tcfg)
-    if args.fuse_recon:
+    if args.fuse_recon == "sum":
         phases = ("Gmain", "Grecon-fused", "Grand", "Greg", "Dmain", "Dreg")
+    elif args.fuse_recon == "seq":
+        phases = ("Gmain", "Grecon-seq", "Grand", "Greg", "Dmain", "Dreg")
     else:
         phases = ("Gmain", "Gcond", "Gside-left", "Gside-right", "Gside-back",
                   "Grand", "Greg", "Dmain", "Dreg")
