@@ -129,8 +129,10 @@ class Reconstructor:
         cache_planes = plane_cache_ok(self.g)
         render = _get_render_jit(self.g, self.opts, self.seed, vb,
                                  from_planes=cache_planes)
-        ws_pl = (_get_planes_jit(self.g, self.seed)(self.variables, cond)
-                 if cache_planes else ())
+        ws_pl = (
+            _get_planes_jit(self.g, self.seed, self.opts)(self.variables, cond)
+            if cache_planes else ()
+        )
         outs = []
         for i in range(0, n, vb):
             sl = slice(i, min(i + vb, n))

@@ -83,12 +83,17 @@ def _get_render_jit(g, opts, seed, vb, from_planes=False):
 
             @jax.jit
             def render(variables, elevations, azimuths, fovs, cond, ws,
-                       planes):
+                       planes, *ess_occ):
                 xin = _xin(elevations, azimuths, fovs, cond)
                 xin["ws"] = jnp.broadcast_to(ws, (vb,) + ws.shape[1:])
                 xin["_planes"] = jnp.broadcast_to(
                     planes, (vb,) + planes.shape[1:]
                 )
+                if ess_occ:  # per-portrait occupancy (ESS), shared by views
+                    occ, occ_out = ess_occ
+                    xin["_ess_occ"] = (
+                        jnp.broadcast_to(occ, (vb,) + occ.shape[1:]), occ_out
+                    )
                 out = g.apply(
                     variables, xin, method=TriPlaneGenerator.f,
                     noise_mode="const",
@@ -122,17 +127,21 @@ def plane_cache_ok(g):
     return bool(g.rk.get("c_gen_conditioning_zero", False))
 
 
-def _get_planes_jit(g, seed):
-    """Jitted once-per-portrait (ws, triplanes) for the plane-reusing view
-    renders: seeds->z (host), single-z mapping (identical to G.f's
-    broadcast shortcut), backbone plane synthesis."""
+def _get_planes_jit(g, seed, opts=None):
+    """Jitted once-per-portrait (ws, triplanes[, ess occupancy]) for the
+    plane-reusing view renders: seeds->z (host), single-z mapping
+    (identical to G.f's broadcast shortcut), backbone plane synthesis.
+    With ESS active the occupancy grid is decoded here too — once per
+    portrait instead of once per view batch (output-identical)."""
     import jax
     import jax.numpy as jnp
 
     from ..cameras import camera_label
     from ..models.triplane import TriPlaneGenerator, seeds_to_z
 
-    key = (id(g), seed, "_planes")
+    with_occ = bool(g.rk.get("ess"))
+    opts = opts or {}
+    key = (id(g), seed, "_planes", with_occ, repr(sorted(opts.items())))
     if key not in _RENDER_JIT:
         z = jnp.asarray(seeds_to_z([seed], g.z_dim))
         # camera label is irrelevant under c_gen_conditioning_zero (zeroed
@@ -147,7 +156,16 @@ def _get_planes_jit(g, seed):
                          method=TriPlaneGenerator.mapping)
             planes = g.apply(variables, ws, cond, noise_mode="const",
                              method=TriPlaneGenerator._planes_from_ws)
-            return ws, planes
+            if not with_occ:
+                return ws, planes
+            occ = g.apply(
+                variables, planes,
+                triplane_crop=opts.get("triplane_crop"),
+                cull_clouds=opts.get("cull_clouds"),
+                binarize_clouds=opts.get("binarize_clouds"),
+                method=TriPlaneGenerator.ess_occupancy_for_planes,
+            )
+            return ws, planes, occ[0], occ[1]
 
         _RENDER_JIT[key] = planes_fn
     return _RENDER_JIT[key]
@@ -281,7 +299,7 @@ def main(argv=None):
         render = _get_render_jit(g, opts, args.seed, vb,
                                  from_planes=cache_planes)
         if cache_planes:  # one backbone pass per portrait, not per batch
-            ws_pl = _get_planes_jit(g, args.seed)(variables, cond)
+            ws_pl = _get_planes_jit(g, args.seed, opts)(variables, cond)
         for i in range(0, len(views), vb):
             chunk = views[i : i + vb]
             cc = chunk + [chunk[-1]] * (vb - len(chunk))

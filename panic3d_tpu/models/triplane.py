@@ -347,6 +347,26 @@ class TriPlaneGenerator(nn.Module):
             ans["image_raw"] = 0.5 * ans["image_raw"] + 0.5
         return ans
 
+    def ess_occupancy_for_planes(self, planes, triplane_crop=None,
+                                 cull_clouds=None, binarize_clouds=None):
+        """Precompute the empty-space-skipping occupancy for given planes.
+
+        TPU-native addition: occupancy depends only on (planes, density
+        filters), so callers rendering many views of one portrait (the
+        eval.generate spin loop, turntables) compute it ONCE here and pass
+        it as ``x['_ess_occ']`` to every view render — output-identical to
+        the per-call occupancy, it is the same function of the same
+        inputs. Returns (occ [N,G,G,G], occ_outside scalar)."""
+        rk = self.rk
+        decode_fn = (
+            lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        )
+        return vr.ess_occupancy(
+            vr.generate_plane_axes(rk.get("use_triplane", False)),
+            planes, decode_fn, rk["box_warp"], rk,
+            triplane_crop, cull_clouds, binarize_clouds, planes.shape[0],
+        )
+
     # -- shape sampling ----------------------------------------------------
 
     def sample_mixed(self, coordinates, directions, ws, cond=None,

@@ -209,3 +209,47 @@ def test_ess_half_budget_beats_plain_reference_quadrature():
     assert e_e48 <= e96 * 1.05, (e_e48, e96)
     # claim 3: the plain half-budget render is measurably worse than ESS
     assert e_p48 > e_e48 * 1.5, (e_p48, e_e48)
+
+
+@pytest.mark.fast
+def test_per_portrait_occ_cache_matches_per_call():
+    """eval.generate's cached-plane path precomputes the ESS occupancy once
+    per portrait (_get_planes_jit) and threads it into every view batch —
+    must match the per-call occupancy render exactly (same function of the
+    same planes+filters)."""
+    import jax
+    from panic3d_tpu import configs
+    from panic3d_tpu.eval.generate import _get_planes_jit, _get_render_jit
+    from panic3d_tpu.models.triplane import TriPlaneGenerator
+
+    base = configs.tiny()
+    rk = dict(base.rendering_kwargs)
+    rk["ess"] = dict(grid=8, taps=16, thresh=0.01, margin=1.0)
+    g = configs.tiny(rendering_kwargs=rk, force_sigmoid=True)
+
+    from panic3d_tpu.data.dataset import synthetic_batch
+
+    batch = jax.tree_util.tree_map(
+        jnp.asarray, synthetic_batch(bs=1, size=64, chonk_ch=16, feat_dim=32))
+    cond = batch["cond"]
+    xin = {"seeds": [7], "elevations": jnp.zeros(1), "azimuths": jnp.zeros(1),
+           "cond": cond}
+    variables = g.init({"params": jax.random.PRNGKey(0)}, xin,
+                       method=TriPlaneGenerator.f, noise_mode="const")
+
+    opts = dict(triplane_crop=0.1, cull_clouds=0.5)
+    el = jnp.asarray([10.0, -5.0])
+    az = jnp.asarray([0.0, 120.0])
+    fovs = jnp.asarray([30.0, 30.0])
+
+    full = _get_render_jit(g, opts, 7, 2)(variables, el, az, fovs, cond)
+    pl = _get_planes_jit(g, 7, opts)(variables, cond)
+    assert len(pl) == 4  # ws, planes, occ, occ_outside
+    cached = _get_render_jit(g, opts, 7, 2, from_planes=True)(
+        variables, el, az, fovs, cond, *pl
+    )
+    for k in full:
+        np.testing.assert_allclose(
+            np.asarray(cached[k]), np.asarray(full[k]), atol=2e-5, rtol=1e-5,
+            err_msg=k,
+        )
