@@ -67,14 +67,20 @@ def parse_args(argv=None):
     ap.add_argument("--paste-params-mode", default="none")
     ap.add_argument("--density-reg", type=float, default=0.25)
     ap.add_argument("--reg-type", default="l1")
-    # TPU efficiency: fold the ortho recon phases (Gcond/Gside-*) into one
-    # shared-backbone pass (roofline-driven; the per-view lambdas/losses are
-    # identical). Modes: 'seq' (default when eligible) keeps the reference's
-    # per-view sequential Adam stepping via per-view grads from a vmapped
-    # trunk VJP (loss.g_cond_seq_grads); 'sum' is the r3 single-Adam-step
-    # variant; 'off' runs the separate per-view phases; 'auto' picks seq
-    # when the mapping is camera-free, else off.
-    ap.add_argument("--fuse-recon", nargs="?", const="seq", default="auto",
+    # Fold the ortho recon phases (Gcond/Gside-*) into one shared-backbone
+    # pass. Modes, with flagship bs=2 v5e-lite measurements (r4):
+    #   off (default) — separate per-view phases, reference-exact
+    #                   semantics; 1.491 s/step (the one-jit step already
+    #                   CSEs the repeated backbone forwards);
+    #   sum           — one batched phase, ONE Adam step for the group
+    #                   (optimizer-granularity deviation); 1.405 s/step;
+    #   seq           — per-view grads from a vmapped trunk VJP, per-view
+    #                   SEQUENTIAL Adam (reference granularity, grads at
+    #                   pre-step params); 1.61 s/step — the vmapped
+    #                   backward measured SLOWER than the CSE'd separate
+    #                   backwards, so it is an opt-in, not the default.
+    # 'auto' resolves to off.
+    ap.add_argument("--fuse-recon", nargs="?", const="sum", default="auto",
                     choices=["auto", "off", "sum", "seq"])
     # path-length regularization (the pl_* options the reference loss keeps,
     # loss.py:44-48; Gpl rides the Greg lazy-reg interval)
@@ -476,7 +482,7 @@ def main(argv=None):
                      or g.rk.get("c_scale", 1.0) == 0)
     fuse = args.fuse_recon
     if fuse == "auto":
-        fuse = "seq" if fuse_eligible else "off"
+        fuse = "off"  # measured default: see --fuse-recon help
     if fuse in ("sum", "seq") and not fuse_eligible:
         raise SystemExit(
             "--fuse-recon requires c_gen_conditioning_zero (or "
