@@ -253,3 +253,30 @@ def test_per_portrait_occ_cache_matches_per_call():
             np.asarray(cached[k]), np.asarray(full[k]), atol=2e-5, rtol=1e-5,
             err_msg=k,
         )
+
+
+@pytest.mark.fast
+def test_merge_presorted_bit_equals_argsort():
+    """merge_composite(presorted=True) — cross-count merge ranks of two
+    sorted sample lists — is bit-identical to the argsort path, including
+    exact depth ties (which follow stable-argsort order: coarse first)."""
+    rng = np.random.RandomState(5)
+    B, R, S1, S2 = 2, 33, 9, 7
+    d1 = np.sort(rng.rand(B, R, S1, 1), axis=2).astype(np.float32)
+    d2 = np.sort(rng.rand(B, R, S2, 1), axis=2).astype(np.float32)
+    d2[:, ::3, 2] = d1[:, ::3, 4]  # exact ties on every third ray
+    d2 = np.sort(d2, axis=2)       # keep the presorted contract
+    c1 = rng.randn(B, R, S1, 5).astype(np.float32)
+    c2 = rng.randn(B, R, S2, 5).astype(np.float32)
+    s1 = rng.randn(B, R, S1, 1).astype(np.float32)
+    s2 = rng.randn(B, R, S2, 1).astype(np.float32)
+    x1 = rng.randn(B, R, S1, 3).astype(np.float32)
+    x2 = rng.randn(B, R, S2, 3).astype(np.float32)
+    args = [jnp.asarray(t) for t in (d1, c1, s1, x1, d2, c2, s2, x2)]
+    for flat in (True, False):
+        ref = vr.merge_composite(*args, white_back=True, flat_take=flat,
+                                 presorted=False)
+        got = vr.merge_composite(*args, white_back=True, flat_take=flat,
+                                 presorted=True)
+        for a, b in zip(got, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
