@@ -855,11 +855,12 @@ def render(
             depths_fine, colors_fine, densities_fine, xyz_fine,
             white_back=options.get("white_back", False),
             flat_take=ray_sharding is None,
-            # key-free eval quadrature: both sample lists are already
-            # depth-sorted, so the merge order comes from cross-count
-            # ranks instead of an argsort network (bit-identical)
-            presorted=key is None
-            and not options.get("disparity_space_sampling", False),
+            # presorted (cross-count merge ranks instead of argsort) is
+            # bit-identical but measured SLOWER on the chip (r4 bench:
+            # 27.8 -> 19.7 sustained views/s — the sorted pack becomes a
+            # narrow SCATTER, and TPU scatters lower worse than the
+            # argsort+row-gather they replace), so it stays off
+            presorted=False,
         )
         return RenderOutput(
             rgb=rgb_final[..., :-3],
