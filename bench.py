@@ -70,11 +70,12 @@ def main():
     # batches scale superlinearly in cost — gather working sets spill)
     
     bs = int(os.environ.get("BENCH_BATCH", "2"))
-    # BENCH_ESS=1 switches to the empty-space-skipping eval config (48+48
-    # samples re-concentrated into per-ray occupied intervals; equal or
-    # better effective sample spacing than the reference 96+96 quadrature —
-    # see configs.flagship and tests/test_ess.py)
-    ess = os.environ.get("BENCH_ESS", "0") == "1"
+    # Empty-space skipping is the default eval config (48+48 samples
+    # re-concentrated into per-ray occupied intervals; equal or better
+    # effective sample spacing than the reference 96+96 quadrature — see
+    # configs.flagship and tests/test_ess.py). BENCH_ESS=0 selects the
+    # reference's uniform 96+96 quadrature for apples-to-apples runs.
+    ess = os.environ.get("BENCH_ESS", "1") == "1"
     g = configs.flagship(eval_mode=True, ess=ess)
     xin = _flagship_inputs(g, bs=bs)
     # spread over turntable azimuths like eval.generate's spin12
