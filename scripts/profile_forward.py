@@ -92,8 +92,12 @@ def main():
         def walk(node, path):
             ch = node.get("children") or []
             t = (node.get("metrics") or {}).get("rawTime", 0)
-            if not ch and t:
-                rows.append((t, f"{path[0]}: {node.get('name','?')}"))
+            # fusion nodes carry their time on the parent; children (inner
+            # instructions) often report 0 — record any node whose time is
+            # not accounted for by its children (self-ish time)
+            tch = sum((k.get("metrics") or {}).get("rawTime", 0) for k in ch)
+            if t and t > tch:
+                rows.append((t - tch, f"{path[0]}: {node.get('name','?')}"))
             for k in ch:
                 walk(k, path)
 
