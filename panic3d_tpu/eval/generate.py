@@ -82,18 +82,27 @@ def _get_render_jit(g, opts, seed, vb, from_planes=False):
         if from_planes:
 
             @jax.jit
-            def render(variables, elevations, azimuths, fovs, cond, ws,
-                       planes, *ess_occ):
+            def render(variables, elevations, azimuths, fovs, cond, pl):
                 xin = _xin(elevations, azimuths, fovs, cond)
+                ws, planes = pl["ws"], pl["planes"]
                 xin["ws"] = jnp.broadcast_to(ws, (vb,) + ws.shape[1:])
                 xin["_planes"] = jnp.broadcast_to(
                     planes, (vb,) + planes.shape[1:]
                 )
-                if ess_occ:  # per-portrait occupancy (ESS), shared by views
-                    occ, occ_out = ess_occ
+                if "occ" in pl:  # per-portrait ESS occupancy, shared by views
+                    occ = pl["occ"]
                     xin["_ess_occ"] = (
-                        jnp.broadcast_to(occ, (vb,) + occ.shape[1:]), occ_out
+                        jnp.broadcast_to(occ, (vb,) + occ.shape[1:]),
+                        pl["occ_out"],
                     )
+                if "occ_A" in pl:  # per-portrait paste occlusion volume
+                    A = pl["occ_A"]
+                    xin["_occ_vol"] = {
+                        "A": jnp.broadcast_to(A, (vb,) + A.shape[1:]),
+                        "density0": pl["occ_d0"],
+                        "box_warp": g.rk["box_warp"],
+                        "grid": tuple(A.shape[1:]),
+                    }
                 out = g.apply(
                     variables, xin, method=TriPlaneGenerator.f,
                     noise_mode="const",
@@ -128,20 +137,29 @@ def plane_cache_ok(g):
 
 
 def _get_planes_jit(g, seed, opts=None):
-    """Jitted once-per-portrait (ws, triplanes[, ess occupancy]) for the
-    plane-reusing view renders: seeds->z (host), single-z mapping
-    (identical to G.f's broadcast shortcut), backbone plane synthesis.
-    With ESS active the occupancy grid is decoded here too — once per
-    portrait instead of once per view batch (output-identical)."""
+    """Jitted once-per-portrait plane bundle for the plane-reusing view
+    renders: seeds->z (host), single-z mapping (identical to G.f's
+    broadcast shortcut), backbone plane synthesis. Returns a dict with
+    'ws', 'planes', plus — each computed once per portrait instead of once
+    per view batch, output-identically — the ESS occupancy ('occ',
+    'occ_out') when ESS is active and the paste-front occlusion volume
+    ('occ_A', 'occ_d0') when paste_params use the grid occlusion."""
     import jax
     import jax.numpy as jnp
 
     from ..cameras import camera_label
     from ..models.triplane import TriPlaneGenerator, seeds_to_z
 
-    with_occ = bool(g.rk.get("ess"))
     opts = opts or {}
-    key = (id(g), seed, "_planes", with_occ, repr(sorted(opts.items())))
+    with_occ = bool(g.rk.get("ess"))
+    pp = opts.get("paste_params") or {}
+    with_occvol = (
+        bool(pp)
+        and pp.get("occ_impl", "grid") == "grid"
+        and isinstance(g.rk.get("ray_start"), (int, float))
+    )
+    key = (id(g), seed, "_planes", with_occ, with_occvol,
+           repr(sorted((k, repr(v)) for k, v in opts.items())))
     if key not in _RENDER_JIT:
         z = jnp.asarray(seeds_to_z([seed], g.z_dim))
         # camera label is irrelevant under c_gen_conditioning_zero (zeroed
@@ -156,16 +174,25 @@ def _get_planes_jit(g, seed, opts=None):
                          method=TriPlaneGenerator.mapping)
             planes = g.apply(variables, ws, cond, noise_mode="const",
                              method=TriPlaneGenerator._planes_from_ws)
-            if not with_occ:
-                return ws, planes
-            occ = g.apply(
-                variables, planes,
+            out = {"ws": ws, "planes": planes}
+            filters = dict(
                 triplane_crop=opts.get("triplane_crop"),
                 cull_clouds=opts.get("cull_clouds"),
                 binarize_clouds=opts.get("binarize_clouds"),
-                method=TriPlaneGenerator.ess_occupancy_for_planes,
             )
-            return ws, planes, occ[0], occ[1]
+            if with_occ:
+                occ = g.apply(
+                    variables, planes, **filters,
+                    method=TriPlaneGenerator.ess_occupancy_for_planes,
+                )
+                out["occ"], out["occ_out"] = occ
+            if with_occvol:
+                vol = g.apply(
+                    variables, planes, **filters,
+                    method=TriPlaneGenerator.front_occlusion_volume,
+                )
+                out["occ_A"], out["occ_d0"] = vol["A"], vol["density0"]
+            return out
 
         _RENDER_JIT[key] = planes_fn
     return _RENDER_JIT[key]
@@ -309,7 +336,7 @@ def main(argv=None):
                 jnp.asarray([float(c[3]) for c in cc]),
                 jnp.asarray([float(c[4]) for c in cc]),
                 cond,
-                *(ws_pl if cache_planes else ()),
+                *((ws_pl,) if cache_planes else ()),
             )
             imgs = np.asarray(out["image"])
             xyza = np.concatenate(

@@ -36,6 +36,7 @@ from ..ops.grid_sample import (
 from ..utils.imageops import erosion, resize_nearest, sobel_magnitude
 from .stylegan2 import FullyConnectedLayer, Generator, resize_bilinear
 from .superresolution import SR_MODULES
+from .volumetric import lattice as vlat
 from .volumetric import renderer as vr
 
 
@@ -570,6 +571,54 @@ class TriPlaneGenerator(nn.Module):
         )
         return out.transpose(0, 2, 1).reshape(N, C, Hg, Wg)
 
+    def front_occlusion_volume(self, planes, triplane_crop=None,
+                               cull_clouds=None, binarize_clouds=None):
+        """Precompute the paste-front occlusion volume for given planes.
+
+        TPU-native addition: the occlusion integral along +z depends only on
+        (planes, density filters), so callers rendering many views of one
+        portrait (eval.generate's spin loops) compute it ONCE here and pass
+        it as ``x['_occ_vol']`` to every view (lattice.py design note)."""
+        rk = self.rk
+        decode_fn = (
+            lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        )
+        return vlat.front_occlusion_volume(
+            planes, decode_fn, rk["box_warp"], rk,
+            triplane_crop=triplane_crop, cull_clouds=cull_clouds,
+            binarize_clouds=binarize_clouds,
+            grid=tuple(rk.get("occ_grid", (128, 128, 256))),
+        )
+
+    def _get_front_occlusion_grid(self, x, out, offset=0.01):
+        """Grid-interpolated front occlusion (lattice.front_occlusion_volume).
+
+        Same quantity `_get_front_occlusion`'s re-render computes in
+        image_weights — total +z opacity past each surface point — from one
+        per-portrait suffix-integral volume instead of a per-view
+        hierarchical render (reference triplane.py:565-577). Mask agreement
+        vs the render path: analytic scene + full-G.f
+        (tests/test_lattice.py), flagship shape (PASTE_OCC_PARITY.json,
+        scripts/paste_occ_parity.py)."""
+        rk = self.rk
+        vol = x.get("_occ_vol")
+        if vol is None:
+            vol = self.front_occlusion_volume(
+                x["triplane"],
+                triplane_crop=x.get("triplane_crop"),
+                cull_clouds=x.get("cull_clouds"),
+                binarize_clouds=x.get("binarize_clouds"),
+            )
+        p = (
+            out["image_xyz"]
+            * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
+        )                                               # plane-space xyz
+        N, _, H, W = p.shape
+        pts = p.reshape(N, 3, -1).transpose(0, 2, 1)    # [N,M,3]
+        seg_len = float(rk["ray_end"]) - float(rk["ray_start"])
+        occ = vlat.sample_front_occlusion(vol, pts, offset, seg_len)
+        return occ.transpose(0, 2, 1).reshape(N, 1, H, W)
+
     def _get_front_occlusion(self, x, out, offset=0.01, synthesis_kwargs=None):
         ro = out["image_xyz"] * jnp.asarray([-1.0, 1.0, -1.0])[None, :, None, None]
         ro = ro.at[:, 2].add(-(self.rk["ray_start"] - offset))
@@ -626,6 +675,7 @@ class TriPlaneGenerator(nn.Module):
         thresh_dxyz=0.01,
         front_weight_erosion=0,
         force_image=None,
+        occ_impl="grid",
         _synthesis_kwargs=None,
         **kwargs,
     ):
@@ -646,11 +696,19 @@ class TriPlaneGenerator(nn.Module):
         smask = sobel_magnitude(resize_bilinear(sg(out["image_xyz"]), size))
         smask = (smask < thresh_edges).astype(jnp.float32)
 
-        fmask = (
-            sg(self._get_front_occlusion(
+        # occ_impl='grid' (default): per-portrait suffix-integral volume
+        # (lattice.py) instead of the reference's per-view occlusion
+        # re-render; 'render' keeps the re-render path. The grid path needs
+        # numeric ray_start/end (paste is only used with the fixed-interval
+        # flagship config; 'auto' falls back).
+        numeric_interval = isinstance(self.rk["ray_start"], (int, float))
+        if occ_impl == "grid" and numeric_interval:
+            occ = sg(self._get_front_occlusion_grid(x, out, offset=offset_occ))
+        else:
+            occ = sg(self._get_front_occlusion(
                 x, out, offset=offset_occ, synthesis_kwargs=_synthesis_kwargs,
-            )) < thresh_occ
-        ).astype(jnp.float32)
+            ))
+        fmask = (occ < thresh_occ).astype(jnp.float32)
         fmask = resize_bilinear(fmask, size)
 
         dmask = self._get_xyz_discrepancy(sg(out["image_xyz"]), x["force_rays"])

@@ -237,47 +237,17 @@ def _apply_density_filters(
 # spacing wherever density lives. Static shapes throughout: same tensor
 # shapes per config, narrower intervals per ray.
 
-def ess_occupancy(
-    plane_axes, planes, decode_fn, box_warp: float, options: dict,
-    triplane_crop, cull_clouds, binarize_clouds, n_batch: int,
-):
-    """Conservative occupancy for empty-space skipping.
-
-    Decodes sigma on a G³ cell-center lattice over the box (through the SAME
-    density filters the render applies), thresholds density, and dilates by
-    one cell (3³ max-pool) so any density a render sample could see marks a
-    cell. Returns (occ [N,G,G,G] float 0/1, occ_outside [] float 0/1 — the
-    zero-plane-feature density outside the box, where grid_sample pads
-    zeros).
-    """
-    ess = options["ess"]
-    G = int(ess.get("grid", 32))
-    thresh = float(ess.get("thresh", 0.01))
-    bw = box_warp
-    lin = (jnp.arange(G, dtype=jnp.float32) + 0.5) / G * bw - bw / 2
-    X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
-    coords = jnp.stack([X, Y, Z], axis=-1).reshape(1, -1, 3)
-    coords = jnp.broadcast_to(coords, (n_batch, G ** 3, 3))
-    _, sigma = run_model(
-        plane_axes, planes, decode_fn, coords, bw,
-        options.get("triplane_depth", 1),
-    )
-    sigma = _apply_density_filters(
-        sigma, coords, bw, triplane_crop, cull_clouds, binarize_clouds
-    )
-    density = jax.nn.softplus(sigma.astype(jnp.float32) - 1)
-    occ = (density > thresh).astype(jnp.float32).reshape(n_batch, G, G, G)
-    occ = jax.lax.reduce_window(
-        occ, 0.0, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
-    )
-
-    # outside the box the planes contribute zero features; the decoder's
-    # density there is a position-independent constant. triplane_crop is
-    # deliberately NOT applied (it would need a position) — conservative.
-    C = planes.shape[-1] // 4 if planes.ndim == 4 else (
-        planes.shape[2] // options.get("triplane_depth", 1)
-    )
-    zero_feats = jnp.zeros((1, plane_axes.shape[0], 1, C), planes.dtype)
+def zero_feature_density(planes, decode_fn, cull_clouds, binarize_clouds):
+    """Filtered density of the zero-plane-feature decode (outside the box,
+    where grid_sample pads zeros) — a position-independent scalar.
+    triplane_crop is deliberately NOT applied (it would need a position) —
+    conservative. ``planes`` supplies only dtype + channel count (raw
+    [N,3,C*D,H,W] or packed [N*3,H+1,W+1,4C])."""
+    if planes.ndim == 4:
+        C, n_planes = planes.shape[-1] // 4, 3
+    else:
+        C, n_planes = planes.shape[2], planes.shape[1]
+    zero_feats = jnp.zeros((1, n_planes, 1, C), planes.dtype)
     _, sigma0 = decode_fn(zero_feats)
     density0 = jax.nn.softplus(sigma0.astype(jnp.float32) - 1)
     if binarize_clouds:
@@ -292,6 +262,74 @@ def ess_occupancy(
         ).reshape(-1)[0]
     else:
         density0 = density0.reshape(-1)[0]
+    return density0
+
+
+def ess_occupancy(
+    plane_axes, planes, decode_fn, box_warp: float, options: dict,
+    triplane_crop, cull_clouds, binarize_clouds, n_batch: int,
+):
+    """Conservative occupancy for empty-space skipping.
+
+    Decodes density on a supersampled (ess.supersample × G)³ cell-center
+    lattice over the box (through the SAME density filters the render
+    applies) via the gather-free factorized lattice decode
+    (lattice.decode_lattice), max-pools the thresholded field down to G³ —
+    so density registering at ANY sub-cell sample marks the cell, not only
+    cell centers — and dilates by one cell (3³ max-pool) so any density a
+    render sample could see marks a cell. Returns (occ [N,G,G,G] float 0/1,
+    occ_outside [] float 0/1). Always computed from the RAW planes in fp32
+    (the render's bf16 pack happens downstream), so every call path yields
+    the same occupancy for the same planes.
+
+    Packed (ndim=4) or 3D (triplane_depth>1) planes fall back to the
+    per-point gather decode at the plain G³ centers.
+    """
+    from . import lattice as _lat
+
+    ess = options["ess"]
+    G = int(ess.get("grid", 32))
+    ss = int(ess.get("supersample", 2))
+    thresh = float(ess.get("thresh", 0.01))
+    bw = box_warp
+    factorized = planes.ndim == 5 and options.get("triplane_depth", 1) == 1
+    if not factorized:
+        ss = 1
+    Gs = G * ss
+    if factorized:
+        sigma = _lat.decode_lattice(
+            planes.astype(jnp.float32), decode_fn, bw, (Gs, Gs, Gs),
+            use_triplane=options.get("use_triplane", False),
+        ).reshape(n_batch, -1, 1)
+        coords = jnp.broadcast_to(
+            _lat.lattice_world_coords((Gs, Gs, Gs), bw).reshape(1, -1, 3),
+            (n_batch, Gs ** 3, 3),
+        )
+    else:
+        lin = (jnp.arange(Gs, dtype=jnp.float32) + 0.5) / Gs * bw - bw / 2
+        X, Y, Z = jnp.meshgrid(lin, lin, lin, indexing="ij")
+        coords = jnp.stack([X, Y, Z], axis=-1).reshape(1, -1, 3)
+        coords = jnp.broadcast_to(coords, (n_batch, Gs ** 3, 3))
+        _, sigma = run_model(
+            plane_axes, planes, decode_fn, coords, bw,
+            options.get("triplane_depth", 1),
+        )
+    sigma = _apply_density_filters(
+        sigma, coords, bw, triplane_crop, cull_clouds, binarize_clouds
+    )
+    density = jax.nn.softplus(sigma.astype(jnp.float32) - 1)
+    occ = (density > thresh).astype(jnp.float32).reshape(n_batch, Gs, Gs, Gs)
+    if ss > 1:
+        occ = jax.lax.reduce_window(
+            occ, 0.0, jax.lax.max, (1, ss, ss, ss), (1, ss, ss, ss), "VALID"
+        )
+    occ = jax.lax.reduce_window(
+        occ, 0.0, jax.lax.max, (1, 3, 3, 3), (1, 1, 1, 1), "SAME"
+    )
+
+    density0 = zero_feature_density(
+        planes, decode_fn, cull_clouds, binarize_clouds
+    )
     occ_outside = (density0 > thresh).astype(jnp.float32)
     return jax.lax.stop_gradient(occ), jax.lax.stop_gradient(occ_outside)
 
@@ -315,6 +353,21 @@ def ess_narrow_intervals(
     margin = float(ess.get("margin", 1))
     N, R, _ = ray_origins.shape
     G = occ.shape[-1]
+    # no-step-over invariant: tap spacing (max interval length / K) must not
+    # exceed the occupancy cell size bw/G, or a ray could straddle an
+    # occupied dilated cell between taps (dropped geometry). Static config
+    # check — interval length is the configured span for numeric
+    # ray_start/end, or the box diagonal bound for per-ray ('auto') spans.
+    if isinstance(ray_start, (int, float)) and isinstance(ray_end, (int, float)):
+        max_len = float(ray_end) - float(ray_start)
+    else:
+        max_len = float(np.sqrt(3.0)) * box_warp
+    if max_len / K > box_warp / G:
+        raise ValueError(
+            f"ess: taps={K} cannot cover interval length {max_len:g} at "
+            f"grid={G} (tap spacing {max_len / K:g} > cell {box_warp / G:g})"
+            f"; need taps >= {int(np.ceil(max_len * G / box_warp))}"
+        )
     if isinstance(ray_start, (int, float)):
         rs = jnp.full((N, R, 1), float(ray_start), jnp.float32)
         re = jnp.full((N, R, 1), float(ray_end), jnp.float32)
@@ -400,8 +453,19 @@ def _searchsorted_right(cdf, u):
 
 
 def sample_pdf(bins, weights, n_importance: int,
-               key: Optional[jax.Array] = None, eps: float = 1e-5):
-    """Inverse-CDF sampling (renderer.py:348-387). bins [R,B], weights [R,B-?]."""
+               key: Optional[jax.Array] = None, eps: float = 1e-5,
+               gather_impl: str = "onehot"):
+    """Inverse-CDF sampling (renderer.py:348-387). bins [R,B], weights [R,B-?].
+
+    gather_impl='onehot' (default) selects the bracketing cdf/bin values via
+    one-hot compare-and-sum over the small S axis instead of four
+    take_along_axis calls: TPU lowers take_along_axis to per-ELEMENT row
+    gathers at the ~2.5 ns/row floor (measured 16 ms/eval-forward, the #2
+    op after the plane gathers — scripts/profile_forward.py r5), while the
+    one-hot form fuses with the searchsorted compare into pure VPU work.
+    Both paths select exact array elements — bit-identical outputs
+    (tests/test_renderer.py::test_sample_pdf_onehot_bitexact).
+    """
     R, S = weights.shape
     weights = weights + eps
     pdf = weights / jnp.sum(weights, axis=-1, keepdims=True)
@@ -417,10 +481,23 @@ def sample_pdf(bins, weights, n_importance: int,
     below = jnp.maximum(inds - 1, 0)
     above = jnp.minimum(inds, S)
 
-    cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
-    cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
-    bins_lo = jnp.take_along_axis(bins, below, axis=1)
-    bins_hi = jnp.take_along_axis(bins, above, axis=1)
+    if gather_impl == "onehot":
+        def onehot_take(arr, idx):
+            # arr [R,W], idx [R,K] with values < W -> [R,K]; exact-element
+            # select, lowers to compare+where+reduce (VPU) instead of gather
+            sidx = jnp.arange(arr.shape[-1], dtype=jnp.int32)
+            oh = sidx[None, None, :] == idx[:, :, None]        # [R,K,W]
+            return jnp.sum(jnp.where(oh, arr[:, None, :], 0.0), axis=-1)
+
+        cdf_lo = onehot_take(cdf, below)
+        cdf_hi = onehot_take(cdf, above)
+        bins_lo = onehot_take(bins, below)
+        bins_hi = onehot_take(bins, above)
+    else:
+        cdf_lo = jnp.take_along_axis(cdf, below, axis=1)
+        cdf_hi = jnp.take_along_axis(cdf, above, axis=1)
+        bins_lo = jnp.take_along_axis(bins, below, axis=1)
+        bins_hi = jnp.take_along_axis(bins, above, axis=1)
 
     denom = cdf_hi - cdf_lo
     denom = jnp.where(denom < eps, 1.0, denom)
@@ -701,6 +778,22 @@ def render(
     # whole render across chips with zero collectives (the per-ray cumprod
     # and sort stay local). Auto-chunking is skipped — sharding already
     # bounds the per-device gather working set.
+    # empty-space skipping: the occupancy grid depends only on the planes,
+    # so it is computed ONCE here (hoisted out of the ray-chunk loop and
+    # shared by the coarse and importance passes) and threaded through
+    # options. Callers rendering several views from the SAME planes (paste
+    # compositing, turntables) may pre-seed options['_ess_occ']. Computed
+    # BEFORE the bf16 corner-pack below so every call path derives the
+    # occupancy from the same raw fp32 planes.
+    if options.get("ess") and "_ess_occ" not in options:
+        options = dict(
+            options,
+            _ess_occ=ess_occupancy(
+                generate_plane_axes(options.get("use_triplane", False)),
+                planes, decode_fn, options["box_warp"], options,
+                triplane_crop, cull_clouds, binarize_clouds, N,
+            ),
+        )
     # corner-pack the planes BEFORE any chunk split so the packed build is
     # hoisted out of the lax.map body (it is loop-invariant) and shared by
     # the coarse and importance passes. Disable with
@@ -715,20 +808,6 @@ def render(
             options.get("render_dtype", "bfloat16")
         ]
         planes = pack_planes(planes.astype(render_dtype_))
-    # empty-space skipping: the occupancy grid depends only on the planes,
-    # so it is computed ONCE here (hoisted out of the ray-chunk loop and
-    # shared by the coarse and importance passes) and threaded through
-    # options. Callers rendering several views from the SAME planes (paste
-    # compositing, turntables) may pre-seed options['_ess_occ'].
-    if options.get("ess") and "_ess_occ" not in options:
-        options = dict(
-            options,
-            _ess_occ=ess_occupancy(
-                generate_plane_axes(options.get("use_triplane", False)),
-                planes, decode_fn, options["box_warp"], options,
-                triplane_crop, cull_clouds, binarize_clouds, N,
-            ),
-        )
     ray_sharding = options.get("ray_sharding")
     if ray_sharding is not None:
         ray_origins = jax.lax.with_sharding_constraint(ray_origins, ray_sharding)

@@ -244,9 +244,9 @@ def test_per_portrait_occ_cache_matches_per_call():
 
     full = _get_render_jit(g, opts, 7, 2)(variables, el, az, fovs, cond)
     pl = _get_planes_jit(g, 7, opts)(variables, cond)
-    assert len(pl) == 4  # ws, planes, occ, occ_outside
+    assert set(pl) == {"ws", "planes", "occ", "occ_out"}
     cached = _get_render_jit(g, opts, 7, 2, from_planes=True)(
-        variables, el, az, fovs, cond, *pl
+        variables, el, az, fovs, cond, pl
     )
     for k in full:
         np.testing.assert_allclose(

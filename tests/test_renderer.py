@@ -93,6 +93,32 @@ def test_sample_pdf_matches_reference_deterministic():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_sample_pdf_onehot_bitexact():
+    """One-hot select (default, VPU-fusable) vs take_along_axis: both pick
+    exact array elements, so the outputs must be bit-identical — including
+    the boundary indices (below clamped to 0, above clamped to S)."""
+    R, S, K = 16, 12, 9
+    bins = np.sort(RNG.rand(R, S).astype(np.float32), axis=1)
+    weights = RNG.rand(R, S - 2).astype(np.float32)
+    # force boundary brackets: one row of all-zero weight mass at each end
+    weights[0, :] = 1e-12
+    got_oh = np.asarray(vr.sample_pdf(
+        jnp.asarray(bins), jnp.asarray(weights), K, gather_impl="onehot"))
+    got_ta = np.asarray(vr.sample_pdf(
+        jnp.asarray(bins), jnp.asarray(weights), K, gather_impl="take"))
+    np.testing.assert_array_equal(got_oh, got_ta)
+
+    # random-u path too
+    key = jax.random.PRNGKey(3)
+    got_oh = np.asarray(vr.sample_pdf(
+        jnp.asarray(bins), jnp.asarray(weights), K, key=key,
+        gather_impl="onehot"))
+    got_ta = np.asarray(vr.sample_pdf(
+        jnp.asarray(bins), jnp.asarray(weights), K, key=key,
+        gather_impl="take"))
+    np.testing.assert_array_equal(got_oh, got_ta)
+
+
 def test_sample_importance_shapes_and_order():
     B, R, S = 1, 4, 12
     z = np.sort(RNG.rand(B, R, S, 1).astype(np.float32), axis=2)

@@ -370,9 +370,9 @@ def test_plane_cached_render_matches_full():
     az = jnp.asarray([0.0, 90.0])
     fovs = jnp.asarray([30.0, -1.0])  # pinhole + ortho in one batch
     full = _get_render_jit(g, {}, 7, 2)(variables, el, az, fovs, cond)
-    ws, planes = _get_planes_jit(g, 7)(variables, cond)
+    pl = _get_planes_jit(g, 7)(variables, cond)
     cached = _get_render_jit(g, {}, 7, 2, from_planes=True)(
-        variables, el, az, fovs, cond, ws, planes)
+        variables, el, az, fovs, cond, pl)
     for k in full:
         # tolerance: the two jit graphs fuse differently, so fp32 rounding
         # differs in the last bits; observed max |diff| ~5e-5 on O(1) values
