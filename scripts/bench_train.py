@@ -87,7 +87,7 @@ def main():
     ap.add_argument("--remat", default=None, choices=["full", "dots"],
                     help="rematerialize phase losses in backward "
                          "(HBM-roofline experiment)")
-    ap.add_argument("--fuse-recon", nargs="?", const="seq", default="off",
+    ap.add_argument("--fuse-recon", nargs="?", const="sum", default="off",
                     choices=["off", "sum", "seq"],
                     help="shared-backbone recon instead of Gcond/Gside-*: "
                          "'sum' = one Adam step, 'seq' = per-view "
