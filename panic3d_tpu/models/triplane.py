@@ -293,7 +293,10 @@ class TriPlaneGenerator(nn.Module):
             if ess_occ is None:
                 ess_occ = vr.ess_occupancy(
                     vr.generate_plane_axes(rk.get("use_triplane", False)),
-                    planes, decode_fn, rk["box_warp"], rk,
+                    planes, decode_fn, rk["box_warp"],
+                    # OSGDecoder means over planes -> the fused pre-mean
+                    # lattice path is exact (lattice.decode_lattice)
+                    dict(rk, decoder_mean_linear=True),
                     triplane_crop, cull_clouds, binarize_clouds, N,
                 )
             rk = dict(rk, _ess_occ=ess_occ)
@@ -364,7 +367,8 @@ class TriPlaneGenerator(nn.Module):
         )
         return vr.ess_occupancy(
             vr.generate_plane_axes(rk.get("use_triplane", False)),
-            planes, decode_fn, rk["box_warp"], rk,
+            planes, decode_fn, rk["box_warp"],
+            dict(rk, decoder_mean_linear=True),
             triplane_crop, cull_clouds, binarize_clouds, planes.shape[0],
         )
 
@@ -588,6 +592,7 @@ class TriPlaneGenerator(nn.Module):
             triplane_crop=triplane_crop, cull_clouds=cull_clouds,
             binarize_clouds=binarize_clouds,
             grid=tuple(rk.get("occ_grid", (128, 128, 256))),
+            plane_reduce="mean",  # OSGDecoder means over planes
         )
 
     def _get_front_occlusion_grid(self, x, out, offset=0.01):

@@ -26,8 +26,13 @@ Consumers:
 - `front_occlusion_volume` + `sample_front_occlusion`: replaces
   paste-front's per-view occlusion re-render (a full 48+48 hierarchical
   render, ~44 ms/call of the r4 eval forward — scripts/profile_forward.py)
-  with one per-portrait suffix-integrated opacity volume;
-- eval/volume.py: the 256³ mesh-extraction decode.
+  with one per-portrait suffix-integrated opacity volume.
+
+NOT a consumer: eval/volume.py's 256³ mesh decode. Its lattice replicates
+the reference's float-division shear (x/y drift with the z index,
+eg3d_metrics3d.py:70-92) because reference meshes bake it in at the F1@5
+threshold scale — a sheared lattice is not a product grid, so the
+factorization does not apply there.
 """
 
 from __future__ import annotations
@@ -136,6 +141,7 @@ def decode_lattice(
     use_triplane: bool = False,
     chunk_points: int = 2 ** 21,
     with_rgb: bool = False,
+    plane_reduce: str = "stack",
 ):
     """Decode (sigma[, rgb]) on a Gx×Gy×Gz cell-center lattice, gather-free.
 
@@ -143,12 +149,22 @@ def decode_lattice(
     when grid == plane resolution; tests/test_lattice.py). sigma is
     returned [N,Gx,Gy,Gz]; rgb (optional) [N,Gx,Gy,Gz,Cr].
 
-    decode_fn receives the standard stacked per-plane features [N,3,M,C]
-    (each plane's term broadcast over its missing lattice axis — XLA fuses
-    the broadcast into the decoder's plane mean, so nothing G³-sized is
-    written to HBM before the first matmul). Chunked over z so per-chunk
-    feature blocks stay under ~chunk_points rows.
+    plane_reduce:
+      'stack' (default, general) — decode_fn receives the standard stacked
+        per-plane features [N,3,M,C], valid for ANY decoder.
+      'mean' — the plane MEAN is taken here, fused into the broadcast-add
+        of the three axis-factorized terms, and decode_fn receives it as a
+        stacked [N,1,M,C] (its mean over the size-1 plane axis is the
+        identity). Valid ONLY for decoders linear in the plane axis (a
+        mean) — true of OSGDecoder (triplane.py:516-548) and any
+        EG3D-style decoder; production call sites opt in. Stacking the
+        three G³-sized broadcast terms instead measures 2×~9 ms/call of
+        pure reshape/copy at the 128·128·256 occlusion grid (xprof r5) —
+        the pre-mean form writes ONE M×C block per chunk.
+    Chunked over z so per-chunk feature blocks stay under ~chunk_points
+    rows.
     """
+    assert plane_reduce in ("stack", "mean"), plane_reduce
     from .renderer import generate_plane_axes  # local: avoid import cycle
 
     assert planes.ndim == 5, "decode_lattice needs raw [N,3,C,H,W] planes"
@@ -176,13 +192,19 @@ def decode_lattice(
         ]
         M = Gx * Gy * ck
         C = parts[0].shape[-1]
-        feat = jnp.stack(
-            [
-                jnp.broadcast_to(p, (N, Gx, Gy, ck, C)).reshape(N, M, C)
-                for p in parts
-            ],
-            axis=1,
-        )                                               # [N,3,M,C]
+        if plane_reduce == "mean":
+            # broadcast-add + mean in one fused expression: the only
+            # M×C-sized write is the meaned feature block itself
+            feat = sum(parts[1:], parts[0]) / len(parts)  # [N,Gx,Gy,ck,C]
+            feat = feat.reshape(N, 1, M, C)
+        else:
+            feat = jnp.stack(
+                [
+                    jnp.broadcast_to(p, (N, Gx, Gy, ck, C)).reshape(N, M, C)
+                    for p in parts
+                ],
+                axis=1,
+            )                                           # [N,3,M,C]
         rgb, sigma = decode_fn(feat)
         sig_chunks.append(sigma.reshape(N, Gx, Gy, k1 - k0))
         if with_rgb:
@@ -223,6 +245,7 @@ def front_occlusion_volume(
     cull_clouds=None,
     binarize_clouds=None,
     grid: Tuple[int, int, int] = (128, 128, 256),
+    plane_reduce: str = "stack",
 ):
     """Per-portrait +z opacity integral volume for paste-front occlusion.
 
@@ -249,6 +272,7 @@ def front_occlusion_volume(
     sigma = decode_lattice(
         planes, decode_fn, bw, grid,
         use_triplane=options.get("use_triplane", False),
+        plane_reduce=plane_reduce,
     )                                                   # [N,Gx,Gy,Gz]
     xyz = lattice_world_coords(grid, bw)                # [Gx,Gy,Gz,3]
     sigma = _apply_density_filters(

@@ -300,6 +300,12 @@ def ess_occupancy(
         sigma = _lat.decode_lattice(
             planes.astype(jnp.float32), decode_fn, bw, (Gs, Gs, Gs),
             use_triplane=options.get("use_triplane", False),
+            # 'mean' is opted into by callers whose decoder is linear in
+            # the plane axis (triplane.py sets decoder_mean_linear for
+            # OSGDecoder); generic decode_fns get the stacked contract
+            plane_reduce=(
+                "mean" if options.get("decoder_mean_linear") else "stack"
+            ),
         ).reshape(n_batch, -1, 1)
         coords = jnp.broadcast_to(
             _lat.lattice_world_coords((Gs, Gs, Gs), bw).reshape(1, -1, 3),

@@ -85,12 +85,13 @@ def main():
     outs = {}
     for impl in ("render", "grid"):
         @jax.jit
-        def fwd(variables, xin, _impl=impl):
+        def fwd(variables, _impl=impl):
+            # xin closed over: filters/paste_params are static config
             x = dict(xin, paste_params=dict(PASTE, occ_impl=_impl))
             return g.apply(variables, x, method=TriPlaneGenerator.f,
                            noise_mode="const")
 
-        out = jax.device_get(fwd(variables, xin))
+        out = jax.device_get(fwd(variables))
         outs[impl] = {
             "mask_occ": np.asarray(out["paste"]["mask_occ"], np.float32),
             "mask": np.asarray(out["paste"]["mask"], np.float32),

@@ -83,25 +83,32 @@ def main():
     root = prof.get("byCategory") or prof.get("byProgram")
     total_ps = root["metrics"]["rawTime"]
 
-    # category totals + leaf ops
+    # category totals + leaf ops. op_profile nesting: root (byProgram/
+    # byCategory) -> program (jit_forward) -> category (convolution /
+    # gather / fusion classes ...) -> ops; aggregate at the CATEGORY level
+    # and attribute each leaf to its category so fusions are nameable.
     cats, rows = [], []
-    for c in root.get("children", []):
-        m = c.get("metrics") or {}
-        cats.append((m.get("rawTime", 0), c.get("name", "?")))
+    for prog in root.get("children", []):
+        pname = prog.get("name", "?")
+        for c in prog.get("children", []) or [prog]:
+            m = c.get("metrics") or {}
+            cats.append((m.get("rawTime", 0), f"{pname}/{c.get('name','?')}"))
 
-        def walk(node, path):
-            ch = node.get("children") or []
-            t = (node.get("metrics") or {}).get("rawTime", 0)
-            # fusion nodes carry their time on the parent; children (inner
-            # instructions) often report 0 — record any node whose time is
-            # not accounted for by its children (self-ish time)
-            tch = sum((k.get("metrics") or {}).get("rawTime", 0) for k in ch)
-            if t and t > tch:
-                rows.append((t - tch, f"{path[0]}: {node.get('name','?')}"))
-            for k in ch:
-                walk(k, path)
+            def walk(node, cat):
+                ch = node.get("children") or []
+                t = (node.get("metrics") or {}).get("rawTime", 0)
+                # fusion nodes carry their time on the parent; children
+                # (inner instructions) often report 0 — record any node
+                # whose time is not accounted for by its children
+                tch = sum(
+                    (k.get("metrics") or {}).get("rawTime", 0) for k in ch
+                )
+                if t and t > tch:
+                    rows.append((t - tch, f"{cat}: {node.get('name','?')}"))
+                for k in ch:
+                    walk(k, cat)
 
-        walk(c, [c.get("name", "?")])
+            walk(c, c.get("name", "?"))
 
     cats.sort(reverse=True)
     rows.sort(reverse=True)

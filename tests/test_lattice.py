@@ -85,6 +85,29 @@ def test_decode_lattice_matches_run_model_offres():
         )
 
 
+@pytest.mark.fast
+def test_decode_lattice_premean_matches_stack():
+    """plane_reduce='mean' (the fused production fast path) vs 'stack' with
+    a mean-linear decoder (OSGDecoder's structure): identical up to fp32
+    reassociation of the 3-term mean."""
+    planes = jnp.asarray(RNG.randn(1, 3, 5, 16, 16).astype(np.float32))
+    W1 = jnp.asarray(RNG.randn(5, 7).astype(np.float32))
+
+    def mean_decoder(feats):
+        x = jnp.mean(feats.astype(jnp.float32), axis=1)   # [N,M,C]
+        h = jax.nn.softplus(x @ W1)
+        return h[..., 1:], h[..., :1]
+
+    got = {}
+    for pr in ("stack", "mean"):
+        got[pr] = np.asarray(vl.decode_lattice(
+            planes, mean_decoder, BW, (8, 12, 10), use_triplane=True,
+            chunk_points=300, plane_reduce=pr,
+        ))
+    np.testing.assert_allclose(got["mean"], got["stack"],
+                               rtol=1e-5, atol=1e-6)
+
+
 def _occlusion_via_render(points, offset=0.01, S=96, ray_start=0.5,
                           ray_end=1.5, **filters):
     """The reference-shaped occlusion: a +z hierarchical re-render from each
