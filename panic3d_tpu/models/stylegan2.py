@@ -52,7 +52,11 @@ class FullyConnectedLayer(nn.Module):
     bias_init: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_slice=None):
+        """out_slice: optionally compute only output features
+        [out_slice.start, out_slice.stop) — the SAME affine map restricted
+        to those rows of the (full-shape) weight. Lets sigma-only decodes
+        (OSGDecoder) avoid materializing the 32 rgb channels they drop."""
         w = self.param(
             "weight",
             lambda k: jax.random.normal(
@@ -62,6 +66,8 @@ class FullyConnectedLayer(nn.Module):
         )
         weight_gain = self.lr_multiplier / np.sqrt(self.in_features)
         w = w.astype(x.dtype) * weight_gain
+        if out_slice is not None:
+            w = w[out_slice]
         b = None
         if self.use_bias:
             b = self.param(
@@ -70,6 +76,8 @@ class FullyConnectedLayer(nn.Module):
             )
             if self.lr_multiplier != 1:
                 b = b * self.lr_multiplier
+            if out_slice is not None:
+                b = b[out_slice]
         x = x @ w.T
         if self.activation == "linear":
             if b is not None:
@@ -340,7 +348,13 @@ class SynthesisBlock(nn.Module):
     @nn.compact
     def __call__(self, x, img, ws, force_fp32=False, update_emas=False, **layer_kwargs):
         del update_emas  # unused (parity with reference signature)
-        dtype = jnp.bfloat16 if (self.use_fp16 and not force_fp32) else jnp.float32
+        # full-precision blocks follow the INPUT dtype when it is wider
+        # than fp32, so x64 discrimination runs (flagship_parity X64=1)
+        # keep f64 through the backbone; fp32/bf16 production is unchanged
+        full = jnp.promote_types(
+            ws.dtype if x is None else x.dtype, jnp.float32
+        )
+        dtype = jnp.bfloat16 if (self.use_fp16 and not force_fp32) else full
         up = 1 if self.no_up else 2
         lk = dict(self.layer_kwargs or {})
         lk.update(layer_kwargs)

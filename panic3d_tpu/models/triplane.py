@@ -60,21 +60,32 @@ class OSGDecoder(nn.Module):
     hidden_dim: int = 64
 
     @nn.compact
-    def __call__(self, sampled_features, force_sigmoid: bool = False):
-        # features may arrive bf16 from the gather; decode math is fp32
-        x = jnp.mean(sampled_features.astype(jnp.float32), axis=1)  # [N, M, C]
+    def __call__(self, sampled_features, force_sigmoid: bool = False,
+                 sigma_only: bool = False):
+        """sigma_only=True restricts net2 to its sigma row (channel 0) —
+        identical sigma, rgb returned as None. Density-only consumers (ESS
+        occupancy, the paste occlusion volume) decode millions of lattice
+        points; materializing their 32 dropped rgb channels measured
+        2x~9 ms/call of pure layout copies (xprof r5)."""
+        # features may arrive bf16 from the gather; decode math is at least
+        # fp32 (f64 flows through for x64 discrimination runs)
+        x = jnp.mean(vr._at_least_f32(sampled_features), axis=1)  # [N, M, C]
         N, M, C = x.shape
         x = x.reshape(N * M, C)
         x = FullyConnectedLayer(
             C, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="net0"
         )(x)
         x = jax.nn.softplus(x)
-        x = FullyConnectedLayer(
+        net2 = FullyConnectedLayer(
             self.hidden_dim,
             1 + self.decoder_output_dim,
             lr_multiplier=self.decoder_lr_mul,
             name="net2",
-        )(x)
+        )
+        if sigma_only:
+            sigma = net2(x, out_slice=slice(0, 1)).reshape(N, M, 1)
+            return None, sigma
+        x = net2(x)
         x = x.reshape(N, M, -1)
         if force_sigmoid:
             rgb = jax.nn.sigmoid(x[..., 1:])
@@ -230,6 +241,16 @@ class TriPlaneGenerator(nn.Module):
             planes.shape[-1],
         )
 
+    def _decode_sigma_fn(self):
+        """Sigma-only decode closure for density-only consumers (ESS
+        occupancy, paste occlusion volume): identical sigma via net2's
+        channel-0 row, no rgb materialization (OSGDecoder.sigma_only).
+        All occupancy call paths use THIS flavor, so the same planes yield
+        the same occupancy everywhere."""
+        return lambda feats: self.decoder(
+            feats, force_sigmoid=self.force_sigmoid, sigma_only=True
+        )
+
     def synthesis(
         self,
         ws,
@@ -293,7 +314,7 @@ class TriPlaneGenerator(nn.Module):
             if ess_occ is None:
                 ess_occ = vr.ess_occupancy(
                     vr.generate_plane_axes(rk.get("use_triplane", False)),
-                    planes, decode_fn, rk["box_warp"],
+                    planes, self._decode_sigma_fn(), rk["box_warp"],
                     # OSGDecoder means over planes -> the fused pre-mean
                     # lattice path is exact (lattice.decode_lattice)
                     dict(rk, decoder_mean_linear=True),
@@ -362,12 +383,9 @@ class TriPlaneGenerator(nn.Module):
         the per-call occupancy, it is the same function of the same
         inputs. Returns (occ [N,G,G,G], occ_outside scalar)."""
         rk = self.rk
-        decode_fn = (
-            lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
-        )
         return vr.ess_occupancy(
             vr.generate_plane_axes(rk.get("use_triplane", False)),
-            planes, decode_fn, rk["box_warp"],
+            planes, self._decode_sigma_fn(), rk["box_warp"],
             dict(rk, decoder_mean_linear=True),
             triplane_crop, cull_clouds, binarize_clouds, planes.shape[0],
         )
@@ -584,11 +602,8 @@ class TriPlaneGenerator(nn.Module):
         portrait (eval.generate's spin loops) compute it ONCE here and pass
         it as ``x['_occ_vol']`` to every view (lattice.py design note)."""
         rk = self.rk
-        decode_fn = (
-            lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
-        )
         return vlat.front_occlusion_volume(
-            planes, decode_fn, rk["box_warp"], rk,
+            planes, self._decode_sigma_fn(), rk["box_warp"], rk,
             triplane_crop=triplane_crop, cull_clouds=cull_clouds,
             binarize_clouds=binarize_clouds,
             grid=tuple(rk.get("occ_grid", (128, 128, 256))),

@@ -150,13 +150,20 @@ def batched_linspace(start, stop, num: int):
 # ---------------------------------------------------------------------------
 # ray marcher (ray_marcher.py:20-63)
 
+def _at_least_f32(x):
+    """Upcast sub-fp32 inputs (bf16) to fp32; leave fp32/f64 untouched —
+    'compute in at least fp32' without clamping x64 discrimination runs
+    (scripts/flagship_parity.py X64=1) back down to fp32."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 def ray_march(colors, densities, depths, white_back: bool):
     """MipNeRF-style midpoint quadrature compositing.
 
     colors [B,R,S,C], densities [B,R,S,1], depths [B,R,S,1]
     -> (composite [B,R,C], depth [B,R,1], weights [B,R,S-1,1]).
     """
-    colors = colors.astype(jnp.float32)  # composite math always fp32
+    colors = _at_least_f32(colors)  # composite math in at least fp32
     deltas = depths[:, :, 1:] - depths[:, :, :-1]
     colors_mid = (colors[:, :, :-1] + colors[:, :, 1:]) / 2
     densities_mid = (densities[:, :, :-1] + densities[:, :, 1:]) / 2
@@ -680,7 +687,7 @@ def merge_composite(d1, c1, s1, x1, d2, c2, s2, x2, white_back: bool,
         )
 
     colors_aug = jnp.concatenate(
-        [colors.astype(jnp.float32), xyz.astype(jnp.float32)], axis=-1
+        [_at_least_f32(colors), _at_least_f32(xyz)], axis=-1
     )
     composite = jnp.sum(v_orig[..., None] * colors_aug, axis=-2)
     if white_back:
@@ -810,7 +817,8 @@ def render(
         and options.get("packed_gather", True)
         and options.get("triplane_depth", 1) == 1
     ):
-        render_dtype_ = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[
+        render_dtype_ = dict(float32=jnp.float32, bfloat16=jnp.bfloat16,
+                             float64=jnp.float64)[
             options.get("render_dtype", "bfloat16")
         ]
         planes = pack_planes(planes.astype(render_dtype_))
@@ -861,7 +869,8 @@ def render(
     # TPU: the triplane gather is HBM-random-access bound; bf16 halves the
     # gathered bytes (the decoder MLP and compositing stay fp32). Set
     # rendering_kwargs['render_dtype']='float32' for bit-parity checks.
-    render_dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16)[
+    render_dtype = dict(float32=jnp.float32, bfloat16=jnp.bfloat16,
+                        float64=jnp.float64)[
         options.get("render_dtype", "bfloat16")
     ]
     planes = planes.astype(render_dtype)

@@ -17,6 +17,13 @@ CPU; render_dtype='float32' disables our bf16 render path) — and commits:
 Run: nohup python scripts/flagship_parity.py > /tmp/flagship_parity.log &
 Reference shapes: triplane.py:313-508, eg3dc_v0.py:30-31,55-56,
 train_eclustrousC.py:189-203,397-440.
+
+X64=1 runs the float64 DISCRIMINATION variant (VERDICT r4 item 4): both
+sides in double precision. If the fp32 maxdiff (~0.021) is reassociation
+accumulated through the 96+96 softplus/cumprod chains, it collapses by
+orders of magnitude at f64; if it does not collapse, a real single-op bug
+is hiding under it. Writes the x64_* fields into FLAGSHIP_PARITY.json
+(goldens untouched).
 """
 
 from __future__ import annotations
@@ -112,13 +119,27 @@ def main():
 
     from ref_torch import deterministic_reference, load_reference_triplane
 
+    x64 = os.environ.get("X64", "0") == "1"
+    rk = dict(RK, render_dtype="float64") if x64 else RK
+    tdtype = torch.float64 if x64 else torch.float32
+
     d = make_inputs()
     t0 = time.time()
     t = load_reference_triplane()
     torch.manual_seed(0)
-    G = t.TriPlaneGenerator(rendering_kwargs=RK, **SYN, **CFG)
+    G = t.TriPlaneGenerator(rendering_kwargs=dict(RK), **SYN, **CFG)
     G.neural_rendering_resolution = 64
     G.eval()
+    if x64:
+        G = G.double()
+        # conv2d_resample asserts resample_filter dtype==float32 (it casts
+        # to x.dtype internally); .double() converted the buffers
+        for name, buf in G.named_buffers():
+            if "resample_filter" in name:
+                buf.data = buf.data.float()
+        # plane_axes is a plain attribute (renderer.py:160), untouched by
+        # .double(); bmm requires matching dtypes
+        G.renderer.plane_axes = G.renderer.plane_axes.double()
     with torch.no_grad():
         # random-init densities are uniformly thin; bias sigma up so
         # weights / crop / cull produce non-degenerate spatial structure
@@ -128,14 +149,14 @@ def main():
           sum(v.size for v in sd.values()), "params", flush=True)
 
     x_t = {
-        "z": torch.tensor(d["z"]),
-        "elevations": torch.tensor(d["elevations"]),
-        "azimuths": torch.tensor(d["azimuths"]),
-        "distances": torch.tensor(d["distances"]),
-        "fovs": torch.tensor(d["fovs"]),
+        "z": torch.tensor(d["z"], dtype=tdtype),
+        "elevations": torch.tensor(d["elevations"], dtype=tdtype),
+        "azimuths": torch.tensor(d["azimuths"], dtype=tdtype),
+        "distances": torch.tensor(d["distances"], dtype=tdtype),
+        "fovs": torch.tensor(d["fovs"], dtype=tdtype),
         "cond": {
-            "image_ortho_front": torch.tensor(d["img"]),
-            "resnet_chonk": torch.tensor(d["chonk"]),
+            "image_ortho_front": torch.tensor(d["img"], dtype=tdtype),
+            "resnet_chonk": torch.tensor(d["chonk"], dtype=tdtype),
         },
         "triplane_crop": 0.1,
         "cull_clouds": 0.5,
@@ -153,24 +174,28 @@ def main():
 
     # --- JAX side ---
     import jax
+
+    if x64:
+        jax.config.update("jax_enable_x64", True)
     import jax.numpy as jnp
 
     from panic3d_tpu.models.triplane import TriPlaneGenerator
     from panic3d_tpu.runtime.checkpoint import convert_generator_state
 
     g = TriPlaneGenerator(
-        rendering_kwargs=RK, synthesis_kwargs=SYN,
+        rendering_kwargs=rk, synthesis_kwargs=SYN,
         neural_rendering_resolution=64, **CFG,
     )
+    jdtype = jnp.float64 if x64 else jnp.float32
     x_j = {
-        "z": jnp.asarray(d["z"]),
-        "elevations": jnp.asarray(d["elevations"]),
-        "azimuths": jnp.asarray(d["azimuths"]),
-        "distances": jnp.asarray(d["distances"]),
-        "fovs": jnp.asarray(d["fovs"]),
+        "z": jnp.asarray(d["z"], jdtype),
+        "elevations": jnp.asarray(d["elevations"], jdtype),
+        "azimuths": jnp.asarray(d["azimuths"], jdtype),
+        "distances": jnp.asarray(d["distances"], jdtype),
+        "fovs": jnp.asarray(d["fovs"], jdtype),
         "cond": {
-            "image_ortho_front": jnp.asarray(d["img"]),
-            "resnet_chonk": jnp.asarray(d["chonk"]),
+            "image_ortho_front": jnp.asarray(d["img"], jdtype),
+            "resnet_chonk": jnp.asarray(d["chonk"], jdtype),
         },
         "triplane_crop": 0.1,
         "cull_clouds": 0.5,
@@ -206,6 +231,22 @@ def main():
             "ref_absmean": float(np.abs(b).mean()),
         }
         print(k, summary[k], flush=True)
+
+    if x64:
+        prev = {}
+        if os.path.exists(SUMMARY):
+            with open(SUMMARY) as f:
+                prev = json.load(f)
+        prev["x64"] = {
+            k: {"maxdiff": summary[k]["maxdiff"],
+                "meandiff": summary[k]["meandiff"]}
+            for k in OUT_KEYS
+        }
+        with open(SUMMARY, "w") as f:
+            json.dump(prev, f, indent=1)
+        print(f"[{time.time()-t0:.0f}s] x64 fields merged into", SUMMARY,
+              flush=True)
+        return
 
     os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
     np.savez_compressed(
