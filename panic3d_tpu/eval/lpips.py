@@ -43,10 +43,21 @@ def _maxpool(x, k=3, s=2):
 
 
 class AlexNetFeatures(nn.Module):
-    """torchvision AlexNet .features trunk, returning the 5 relu taps."""
+    """torchvision AlexNet .features trunk, returning the 5 relu taps.
+
+    compute_dtype: dtype the conv tower runs in. Params stay fp32;
+    bfloat16 halves the tower's activation traffic and doubles its MXU
+    rate — the right training-time setting on TPU (the loss is an
+    optimization signal, not a reported metric). Metric-grade eval keeps
+    the fp32 default.
+    """
+
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x):
+        cd = self.compute_dtype
+
         def conv_params(name, cout, cin, k):
             w = self.param(
                 f"{name}_w",
@@ -54,7 +65,12 @@ class AlexNetFeatures(nn.Module):
                 * np.sqrt(2.0 / (cin * k * k)),
             )
             b = self.param(f"{name}_b", nn.initializers.zeros, (cout,))
+            if cd is not None:
+                w, b = w.astype(cd), b.astype(cd)
             return w, b
+
+        if cd is not None:
+            x = x.astype(cd)
 
         taps = []
         w, b = conv_params("conv1", 64, 3, 11)
@@ -78,18 +94,27 @@ class AlexNetFeatures(nn.Module):
 
 
 class LPIPS(nn.Module):
-    """lpips.LPIPS(net='alex'): distance between [-1,1] NCHW images."""
+    """lpips.LPIPS(net='alex'): distance between [-1,1] NCHW images.
+
+    compute_dtype=bfloat16 runs the AlexNet tower in bf16 (params fp32,
+    unit-normalization and the layer reductions stay fp32) — the
+    training-loss configuration; None (default) is full fp32 for
+    metric-grade eval."""
+
+    compute_dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x0, x1):
         shift = jnp.asarray(_SHIFT)[None, :, None, None]
         scale = jnp.asarray(_SCALE)[None, :, None, None]
-        net = AlexNetFeatures(name="alex")
+        net = AlexNetFeatures(name="alex", compute_dtype=self.compute_dtype)
         f0 = net((x0 - shift) / scale)
         f1 = net((x1 - shift) / scale)
 
         total = 0.0
         for i, (a, b) in enumerate(zip(f0, f1)):
+            a = a.astype(jnp.float32)
+            b = b.astype(jnp.float32)
             a = a * jax.lax.rsqrt(jnp.sum(a**2, axis=1, keepdims=True) + 1e-10)
             b = b * jax.lax.rsqrt(jnp.sum(b**2, axis=1, keepdims=True) + 1e-10)
             diff = (a - b) ** 2

@@ -52,11 +52,15 @@ class FullyConnectedLayer(nn.Module):
     bias_init: float = 0.0
 
     @nn.compact
-    def __call__(self, x, out_slice=None):
+    def __call__(self, x, out_slice=None, accum_f32=False):
         """out_slice: optionally compute only output features
         [out_slice.start, out_slice.stop) — the SAME affine map restricted
         to those rows of the (full-shape) weight. Lets sigma-only decodes
-        (OSGDecoder) avoid materializing the 32 rgb channels they drop."""
+        (OSGDecoder) avoid materializing the 32 rgb channels they drop.
+
+        accum_f32: with a bfloat16 input, run the matmul with bf16
+        operands but a float32 result (preferred_element_type) — the MXU's
+        native mixed-precision mode. No-op for fp32/f64 inputs."""
         w = self.param(
             "weight",
             lambda k: jax.random.normal(
@@ -78,7 +82,10 @@ class FullyConnectedLayer(nn.Module):
                 b = b * self.lr_multiplier
             if out_slice is not None:
                 b = b[out_slice]
-        x = x @ w.T
+        if accum_f32 and x.dtype == jnp.bfloat16:
+            x = jnp.matmul(x, w.T, preferred_element_type=jnp.float32)
+        else:
+            x = x @ w.T
         if self.activation == "linear":
             if b is not None:
                 x = x + b.astype(x.dtype)

@@ -67,14 +67,29 @@ class OSGDecoder(nn.Module):
         occupancy, the paste occlusion volume) decode millions of lattice
         points; materializing their 32 dropped rgb channels measured
         2x~9 ms/call of pure layout copies (xprof r5)."""
-        # features may arrive bf16 from the gather; decode math is at least
-        # fp32 (f64 flows through for x64 discrimination runs)
-        x = jnp.mean(vr._at_least_f32(sampled_features), axis=1)  # [N, M, C]
+        # decode math is at least fp32 FROM THE HIDDEN LAYER ON (f64 flows
+        # through for x64 discrimination runs). bf16 features (the
+        # production render gather dtype) stay bf16 through the plane mean
+        # into net0 — the features were already bf16-quantized by the
+        # gather, so upcasting first only doubled the [M,C] feature-block
+        # writes (measured 4x~4.4 ms/call of lerp+convert loop fusions,
+        # xprof r5) and forced an f32 matmul; the MXU's native
+        # bf16-in/f32-out mode (accum_f32) keeps the hidden layer exact to
+        # f32 accumulation.
+        x = sampled_features
+        bf16_in = x.dtype == jnp.bfloat16
+        if bf16_in:
+            # f32-accumulated mean, result back to bf16: the converts fuse
+            # into the surrounding elementwise fusion; only the bf16 block
+            # is written
+            x = jnp.mean(x.astype(jnp.float32), axis=1).astype(jnp.bfloat16)
+        else:
+            x = jnp.mean(vr._at_least_f32(x), axis=1)             # [N, M, C]
         N, M, C = x.shape
         x = x.reshape(N * M, C)
         x = FullyConnectedLayer(
             C, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="net0"
-        )(x)
+        )(x, accum_f32=bf16_in)
         x = jax.nn.softplus(x)
         net2 = FullyConnectedLayer(
             self.hidden_dim,

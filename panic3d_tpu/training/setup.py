@@ -28,6 +28,7 @@ def make_loss(
     augment_cfg=None,
     deterministic: bool = False,
     ray_sharding=None,
+    lpips_bf16: bool = False,
 ):
     """deterministic=True pins the renderer to its key-free quadrature
     (midpoint stratified, deterministic importance draws) — used by the
@@ -35,8 +36,16 @@ def make_loss(
 
     ray_sharding: optional NamedSharding (spec [batch, rays]) partitioning
     the volume render's ray axis across the mesh inside the train step —
-    combined dp x ray parallelism (SURVEY.md §5)."""
-    lpips_module = LPIPS()
+    combined dp x ray parallelism (SURVEY.md §5).
+
+    lpips_bf16=True runs the recon-loss AlexNet tower in bfloat16 (params
+    and reductions fp32) — a TPU-native training-time setting; the loss is
+    an optimization signal here, not the reported metric."""
+    import jax.numpy as jnp
+
+    lpips_module = LPIPS(
+        compute_dtype=jnp.bfloat16 if lpips_bf16 else None
+    )
 
     def G_f(vars_G, xin, key):
         k_noise, k_render = jax.random.split(key)

@@ -129,6 +129,11 @@ def parse_args(argv=None):
                     help="keep blur/gpc rampups active after resume")
     ap.add_argument("--allow-random-lpips", action="store_true",
                     help="permit training with a random-init LPIPS net")
+    ap.add_argument("--lpips-bf16", action=argparse.BooleanOptionalAction,
+                    default=False,
+                    help="run the recon-loss AlexNet tower in bfloat16 "
+                         "(params/reductions fp32); fp32 default until "
+                         "the canary drift is measured")
     ap.add_argument("--triplane-depth", type=int, default=1)
     ap.add_argument("--triplane-width", type=int, default=32)
     ap.add_argument("--backbone-resolution", type=int, default=256)
@@ -618,7 +623,7 @@ def main(argv=None):
         from jax.sharding import NamedSharding, PartitionSpec as P
         ray_shard = NamedSharding(mesh, P("data", "rays"))
     loss = make_loss(g, d, lpips_vars, loss_cfg, augment=args.aug != "noaug",
-                     ray_sharding=ray_shard)
+                     ray_sharding=ray_shard, lpips_bf16=args.lpips_bf16)
     steps = {}  # (phase-tuple, neural_res) -> compiled step
     losses_by_res = {args.neural_res_initial: loss}
 
@@ -653,7 +658,8 @@ def main(argv=None):
                 dataclasses.replace(
                     loss_cfg, neural_rendering_resolution_initial=res,
                     neural_rendering_resolution_final=None),
-                augment=args.aug != "noaug", ray_sharding=ray_shard)
+                augment=args.aug != "noaug", ray_sharding=ray_shard,
+                lpips_bf16=args.lpips_bf16)
         return losses_by_res[res]
 
     from ..parallel.mesh import batch_sharding
