@@ -76,7 +76,13 @@ def main():
     # configs.flagship and tests/test_ess.py). BENCH_ESS=0 selects the
     # reference's uniform 96+96 quadrature for apples-to-apples runs.
     ess = os.environ.get("BENCH_ESS", "1") == "1"
-    g = configs.flagship(eval_mode=True, ess=ess)
+    # BENCH_PACKED_CORNERS=0 reverts the fused corner-dot decode (lerp +
+    # plane mean + decoder first layer in one MXU dot) to the standard
+    # gather->lerp->mean->dot order, for on-chip A/B runs
+    rk_over = {}
+    if os.environ.get("BENCH_PACKED_CORNERS", "1") == "0":
+        rk_over["decoder_packed_corners"] = False
+    g = configs.flagship(eval_mode=True, ess=ess, rendering_kwargs=rk_over)
     xin = _flagship_inputs(g, bs=bs)
     # spread over turntable azimuths like eval.generate's spin12
     xin["azimuths"] = jnp.linspace(0.0, 330.0, bs)
@@ -175,6 +181,80 @@ def main():
         if mfu:
             out.update(mfu)
         lines.append(json.dumps(out))
+
+    # ------------------------------------------------------------------
+    # Production-pipeline metric (emitted LAST = the driver's headline):
+    # eval.generate's per-portrait workload — ONE planes bundle (backbone
+    # synthesis + ESS occupancy + paste occlusion volume, _get_planes_jit)
+    # feeding all 16 views (4 ortho + spin12) in vb=2 plane-reusing
+    # batches (_get_render_jit from_planes=True). The per-call metrics
+    # above re-run the backbone and per-portrait builds every call; a
+    # user of eval.generate amortizes them over the turntable, so views/s
+    # here INCLUDES the setup, measured the way production spends it.
+    # BENCH_TURNTABLE=0 skips (e.g. quick per-call-only runs).
+    if os.environ.get("BENCH_TURNTABLE", "1") == "1":
+        from panic3d_tpu.cameras.conventions import cam60, camsubs
+        from panic3d_tpu.eval.generate import (
+            EVAL_VIEWS, _get_planes_jit, _get_render_jit, plane_cache_ok,
+        )
+
+        assert plane_cache_ok(g), "flagship eval must be camera-free mapping"
+        opts = dict(triplane_crop=0.1, cull_clouds=0.5, paste_params=popts)
+        cond1 = {k: v[:1] for k, v in xin["cond"].items()}
+        spin = [
+            ("camP", f"{v:04d}", float(cam60[v][0]), float(cam60[v][1]), 30)
+            for v in camsubs["spin12"]
+        ]
+        views = EVAL_VIEWS + spin
+        vb = 2
+        planes_fn = _get_planes_jit(g, 0, opts)
+        render = _get_render_jit(g, opts, 0, vb, from_planes=True)
+
+        def portrait():
+            # queue the whole portrait (planes + 8 view batches) on the
+            # device stream; caller syncs once on the last image
+            pl = planes_fn(params, cond1)
+            last = None
+            for i in range(0, len(views), vb):
+                cc = views[i : i + vb]
+                cc = cc + [cc[-1]] * (vb - len(cc))
+                out = render(
+                    params,
+                    jnp.asarray([float(c[2]) for c in cc]),
+                    jnp.asarray([float(c[3]) for c in cc]),
+                    jnp.asarray([float(c[4]) for c in cc]),
+                    cond1, pl,
+                )
+                last = out["image"]
+            return last
+
+        float(jnp.sum(portrait()))  # warmup / compile
+        n_port = max(3, n_iters // 2)
+        times = []
+        for _ in range(n_port):
+            t0 = time.perf_counter()
+            float(jnp.sum(portrait()))
+            times.append(time.perf_counter() - t0)
+        dt_port = float(np.median(times))
+        vps = len(views) / dt_port
+        lines.append(json.dumps({
+            "metric": "render_512px_turntable_views_per_sec_per_chip"
+                      + ("_ess" if ess else ""),
+            "value": round(vps, 3),
+            "unit": "views/s",
+            "vs_baseline": round(vps / baseline, 3),
+            "baseline_views_per_sec": baseline,
+            "baseline_range": baseline_range,
+            "vs_baseline_range": [
+                round(vps / baseline_range[1], 3),
+                round(vps / baseline_range[0], 3),
+            ],
+            "settings_parity": not ess,
+            "paste_front": True,
+            "pipeline": "per_portrait_turntable",
+            "views_per_portrait": len(views),
+            "sec_per_portrait": round(dt_port, 4),
+        }))
 
     _bench_done.set()  # metrics computed; disarm the tunnel watchdog
     for line in lines:

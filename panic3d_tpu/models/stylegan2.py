@@ -52,7 +52,7 @@ class FullyConnectedLayer(nn.Module):
     bias_init: float = 0.0
 
     @nn.compact
-    def __call__(self, x, out_slice=None, accum_f32=False):
+    def __call__(self, x, out_slice=None, accum_f32=False, kernel_tile=1):
         """out_slice: optionally compute only output features
         [out_slice.start, out_slice.stop) — the SAME affine map restricted
         to those rows of the (full-shape) weight. Lets sigma-only decodes
@@ -60,7 +60,13 @@ class FullyConnectedLayer(nn.Module):
 
         accum_f32: with a bfloat16 input, run the matmul with bf16
         operands but a float32 result (preferred_element_type) — the MXU's
-        native mixed-precision mode. No-op for fp32/f64 inputs."""
+        native mixed-precision mode. No-op for fp32/f64 inputs.
+
+        kernel_tile: apply the SAME [out, in] kernel to ``kernel_tile``
+        stacked input blocks and sum — x [*, in*kernel_tile] against
+        tile(w, (1, kernel_tile)). The param keeps its [out, in] shape;
+        used by OSGDecoder's packed_corners fused decode, where the input
+        blocks are pre-scaled by bilinear/plane-mean weights."""
         w = self.param(
             "weight",
             lambda k: jax.random.normal(
@@ -72,6 +78,8 @@ class FullyConnectedLayer(nn.Module):
         w = w.astype(x.dtype) * weight_gain
         if out_slice is not None:
             w = w[out_slice]
+        if kernel_tile != 1:
+            w = jnp.tile(w, (1, kernel_tile))
         b = None
         if self.use_bias:
             b = self.param(

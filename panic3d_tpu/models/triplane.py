@@ -61,12 +61,21 @@ class OSGDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, sampled_features, force_sigmoid: bool = False,
-                 sigma_only: bool = False):
+                 sigma_only: bool = False, packed_corners: bool = False):
         """sigma_only=True restricts net2 to its sigma row (channel 0) —
         identical sigma, rgb returned as None. Density-only consumers (ESS
         occupancy, the paste occlusion volume) decode millions of lattice
         points; materializing their 32 dropped rgb channels measured
-        2x~9 ms/call of pure layout copies (xprof r5)."""
+        2x~9 ms/call of pure layout copies (xprof r5).
+
+        packed_corners=True: ``sampled_features`` is the corner-weighted
+        sample-major row block [N, M, n_planes*4*C] of
+        renderer.sample_from_planes_packed_scaled (weights include the
+        1/n_planes plane mean), and bilinear lerp + plane mean + net0
+        collapse into ONE dot against the (4*n_planes)-tiled kernel — the
+        decoder is linear up to net0's input, so this is the same affine
+        map with the summation order moved into the MXU's f32 accumulator
+        (bf16-level reassociation only)."""
         # decode math is at least fp32 FROM THE HIDDEN LAYER ON (f64 flows
         # through for x64 discrimination runs). bf16 features (the
         # production render gather dtype) stay bf16 through the plane mean
@@ -78,18 +87,28 @@ class OSGDecoder(nn.Module):
         # f32 accumulation.
         x = sampled_features
         bf16_in = x.dtype == jnp.bfloat16
-        if bf16_in:
-            # f32-accumulated mean, result back to bf16: the converts fuse
-            # into the surrounding elementwise fusion; only the bf16 block
-            # is written
-            x = jnp.mean(x.astype(jnp.float32), axis=1).astype(jnp.bfloat16)
+        if packed_corners:
+            N, M, Cx = x.shape
+            tile = Cx // self.n_features
+            x = FullyConnectedLayer(
+                self.n_features, self.hidden_dim,
+                lr_multiplier=self.decoder_lr_mul, name="net0",
+            )(x.reshape(N * M, Cx), accum_f32=bf16_in, kernel_tile=tile)
+            C = self.n_features
         else:
-            x = jnp.mean(vr._at_least_f32(x), axis=1)             # [N, M, C]
-        N, M, C = x.shape
-        x = x.reshape(N * M, C)
-        x = FullyConnectedLayer(
-            C, self.hidden_dim, lr_multiplier=self.decoder_lr_mul, name="net0"
-        )(x, accum_f32=bf16_in)
+            if bf16_in:
+                # f32-accumulated mean, result back to bf16: the converts
+                # fuse into the surrounding elementwise fusion; only the
+                # bf16 block is written
+                x = jnp.mean(x.astype(jnp.float32), axis=1).astype(jnp.bfloat16)
+            else:
+                x = jnp.mean(vr._at_least_f32(x), axis=1)         # [N, M, C]
+            N, M, C = x.shape
+            x = x.reshape(N * M, C)
+            x = FullyConnectedLayer(
+                C, self.hidden_dim, lr_multiplier=self.decoder_lr_mul,
+                name="net0",
+            )(x, accum_f32=bf16_in)
         x = jax.nn.softplus(x)
         net2 = FullyConnectedLayer(
             self.hidden_dim,
@@ -321,7 +340,15 @@ class TriPlaneGenerator(nn.Module):
                 stop_level=stop_level, **synthesis_kwargs,
             )
 
-        decode_fn = lambda feats: self.decoder(feats, force_sigmoid=self.force_sigmoid)
+        decode_fn = lambda feats, **kw: self.decoder(
+            feats, force_sigmoid=self.force_sigmoid, **kw
+        )
+        # OSGDecoder is linear up to net0's input, so the renderer may fuse
+        # lerp + plane mean + net0 into one MXU dot on the bf16 packed path
+        # (render() gates on packed bf16 planes; fp32 parity runs unaffected;
+        # rendering_kwargs['decoder_packed_corners']=False opts out)
+        if "decoder_packed_corners" not in rk:
+            rk = dict(rk, decoder_packed_corners=True)
         if rk.get("ess"):
             # empty-space-skipping occupancy depends only on the planes:
             # compute once and share across every render of these planes

@@ -28,6 +28,7 @@ import numpy as np
 from ...ops.grid_sample import (
     grid_sample_2d_points,
     grid_sample_2d_points_packed,
+    grid_sample_2d_points_packed_scaled,
     grid_sample_3d_points,
     pack_bilinear_2d,
 )
@@ -118,6 +119,33 @@ def sample_from_planes_packed(
     pts = proj[..., :2].reshape(NP, M, 2)
     out = grid_sample_2d_points_packed(packed, pts)  # [N*3, M, C]
     return out.reshape(N, n_planes, M, -1)
+
+
+def sample_from_planes_packed_scaled(
+    plane_axes: np.ndarray,
+    packed: jax.Array,           # [N*3, H+1, W+1, 4C]
+    coordinates: jax.Array,      # [N, M, 3] world coords
+    box_warp: float,
+) -> jax.Array:
+    """Corner-weighted SAMPLE-major packed lookup -> [N, M, 3*4C].
+
+    The bilinear corner weights AND the decoder's 1/n_planes mean are
+    pre-multiplied into the raw gathered rows, so a plane-mean decoder's
+    first linear layer consumes this block directly as one MXU dot against
+    its (4*n_planes)-tiled kernel (OSGDecoder packed_corners=True) — the
+    lerp, the plane mean, and net0 become a single matmul and the [M, C]
+    f32 intermediates (measured 4x~1.5 ms/call of lane-wasted loop fusions,
+    xprof r5) are never materialized.
+    """
+    NP = packed.shape[0]
+    N, M, _ = coordinates.shape
+    n_planes = NP // N
+    coordinates = (2.0 / box_warp) * coordinates
+    proj = project_onto_planes(plane_axes, coordinates)  # [N,3,M,3]
+    pts = proj[..., :2].reshape(NP, M, 2)
+    return grid_sample_2d_points_packed_scaled(
+        packed, pts, n_planes, scale=1.0 / n_planes
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -575,7 +603,8 @@ def unify_samples(d1, c1, s1, x1, d2, c2, s2, x2, flat_take: bool = True):
 
 
 def merge_composite(d1, c1, s1, x1, d2, c2, s2, x2, white_back: bool,
-                    flat_take: bool = True, presorted: bool = False):
+                    flat_take: bool = True, presorted: bool = False,
+                    gathers_only: bool = False):
     """Composite the merged coarse+fine sample set WITHOUT gathering colors.
 
     Exactly ``ray_march(unify_samples(...))`` reassociated: only the narrow
@@ -598,7 +627,42 @@ def merge_composite(d1, c1, s1, x1, d2, c2, s2, x2, white_back: bool,
     S = depths.shape[-1]
 
     pack = jnp.stack([depths, sigmas], axis=-1)            # [B,R,S,2] fp32
-    if presorted:
+    if gathers_only:
+        # all-GATHER merge (eval path, both halves already depth-sorted):
+        # no argsort network, no scatter. Cross counts give each original
+        # sample's merged slot (rank, as in presorted), and a second
+        # cross count n_a[j] = #{i: slot_a[i] <= j} tells which half and
+        # which half-index owns sorted slot j — so the sorted (depth,
+        # sigma) pack is TWO narrow half-gathers + a select, and the
+        # coefficient pullback is a rank gather. Tie rule (d1 first)
+        # matches stable argsort of [d1;d2] — bit-identical output.
+        a = d1[..., 0]                                     # [B,R,Sa] sorted
+        b = d2[..., 0]                                     # [B,R,Sb] sorted
+        Sa = a.shape[-1]
+        slot_a = (
+            jnp.arange(Sa, dtype=jnp.int32)
+            + jnp.sum(b[:, :, None, :] < a[:, :, :, None], axis=-1)
+        )                                                  # [B,R,Sa] strictly inc
+        slot_b = (
+            jnp.arange(S - Sa, dtype=jnp.int32)
+            + jnp.sum(a[:, :, None, :] <= b[:, :, :, None], axis=-1)
+        )
+        rank = jnp.concatenate([slot_a, slot_b], axis=-1)  # orig -> sorted
+        j = jnp.arange(S, dtype=jnp.int32)
+        n_a = jnp.sum(
+            slot_a[:, :, None, :] <= j[None, None, :, None], axis=-1
+        ).astype(jnp.int32)                                # [B,R,S]
+        from_a = n_a > jnp.pad(n_a[..., :-1], ((0, 0), (0, 0), (1, 0)))
+        ia = jnp.maximum(n_a - 1, 0)
+        ib = jnp.clip(j[None, None, :] - n_a, 0, S - Sa - 1)
+        pack_a = pack[..., :Sa, :]
+        pack_b = pack[..., Sa:, :]
+        pack_s = jnp.where(
+            from_a[..., None],
+            jnp.take_along_axis(pack_a, ia[..., None], axis=2),
+            jnp.take_along_axis(pack_b, ib[..., None], axis=2),
+        )                                                  # [B,R,S,2]
+    elif presorted:
         # eval path (key=None): d1 (midpoint-stratified) and d2
         # (inverse-CDF at monotone u) are each already depth-sorted, so
         # the merged order comes from a vectorized two-list merge rank
@@ -667,7 +731,9 @@ def merge_composite(d1, c1, s1, x1, d2, c2, s2, x2, white_back: bool,
         jnp.pad(w, ((0, 0), (0, 0), (1, 0)))
         + jnp.pad(w, ((0, 0), (0, 0), (0, 1)))
     ) / 2                                                  # [B,R,S]
-    if presorted:
+    if gathers_only:
+        v_orig = jnp.take_along_axis(v, rank, axis=2)
+    elif presorted:
         if flat_take:
             v_orig = jnp.take(v.reshape(-1), gidx, axis=0).reshape(B, R, S)
         else:
@@ -710,12 +776,22 @@ class RenderOutput(NamedTuple):
 
 
 def run_model(plane_axes, planes, decode_fn, sample_coordinates,
-              box_warp: float, triplane_depth: int = 1):
+              box_warp: float, triplane_depth: int = 1,
+              packed_corners: bool = False):
     """Triplane lookup + decoder MLP (renderer.py:266-280).
 
     ``planes`` may be raw [N,3,C*D,H,W] or corner-packed [N*3,H+1,W+1,4C]
-    (pack_planes); dispatch is on ndim.
+    (pack_planes); dispatch is on ndim. packed_corners=True (packed planes
+    only) hands the decoder the corner-weighted sample-major row block so
+    lerp + plane mean + first layer fuse into one MXU dot — the decoder
+    must accept packed_corners (OSGDecoder; opt-in via
+    rendering_kwargs['decoder_packed_corners']).
     """
+    if planes.ndim == 4 and packed_corners:
+        feats = sample_from_planes_packed_scaled(
+            plane_axes, planes, sample_coordinates, box_warp
+        )
+        return decode_fn(feats, packed_corners=True)
     if planes.ndim == 4:
         feats = sample_from_planes_packed(
             plane_axes, planes, sample_coordinates, box_warp
@@ -729,7 +805,8 @@ def run_model(plane_axes, planes, decode_fn, sample_coordinates,
 
 
 def run_model_z_aligned(plane_axes, packed, decode_fn, coordinates,
-                        R: int, S: int, box_warp: float):
+                        R: int, S: int, box_warp: float,
+                        packed_corners: bool = False):
     """run_model for rays with EXACTLY z-aligned directions (d = (0,0,±1)).
 
     Along such rays x and y are bitwise constant, so the (x,y)-plane
@@ -748,6 +825,27 @@ def run_model_z_aligned(plane_axes, packed, decode_fn, coordinates,
 
     # plane 0: per-ray points (sample 0 of each ray — identical across S)
     pts0 = proj[:, 0, :, :2].reshape(N, R, S, 2)[:, :, 0]  # [N,R,2]
+
+    if packed_corners:
+        # corner-weighted sample-major blocks; the decoder's tiled first
+        # layer is invariant to plane-block order (every 4C block hits the
+        # same tiled kernel), so plane 0's broadcast rows just concatenate
+        s0 = grid_sample_2d_points_packed_scaled(
+            packed[0::3], pts0, 1, scale=1.0 / 3.0
+        )                                                  # [N,R,4C]
+        C4 = s0.shape[-1]
+        s0 = jnp.broadcast_to(
+            s0[:, :, None, :], (N, R, S, C4)
+        ).reshape(N, M, C4)
+        s1 = grid_sample_2d_points_packed_scaled(
+            packed[1::3], proj[:, 1, :, :2], 1, scale=1.0 / 3.0
+        )
+        s2 = grid_sample_2d_points_packed_scaled(
+            packed[2::3], proj[:, 2, :, :2], 1, scale=1.0 / 3.0
+        )
+        feats = jnp.concatenate([s0, s1, s2], axis=-1)     # [N,M,3*4C]
+        return decode_fn(feats, packed_corners=True)
+
     out0 = grid_sample_2d_points_packed(packed[0::3], pts0)  # [N,R,C]
     C = out0.shape[-1]
     out0 = jnp.broadcast_to(out0[:, :, None, :], (N, R, S, C)).reshape(N, M, C)
@@ -911,6 +1009,17 @@ def render(
         and ray_sharding is None
     )
 
+    # fused corner-dot decode: lerp + plane mean + decoder first layer in
+    # one MXU dot (sample_from_planes_packed_scaled); opt-in by decoders
+    # linear in the plane mean whose __call__ accepts packed_corners
+    # (OSGDecoder). bf16 packed planes only — the fp32 path keeps the
+    # reference-exact lerp->mean->dot order for parity runs.
+    packed_corners = (
+        planes.ndim == 4
+        and planes.dtype == jnp.bfloat16
+        and options.get("decoder_packed_corners", False)
+    )
+
     def eval_pass(depths):
         n_samples = depths.shape[2]
         coords = (
@@ -918,11 +1027,13 @@ def render(
         ).reshape(N, -1, 3)
         if z_aligned:
             rgb, sigma = run_model_z_aligned(
-                plane_axes, planes, decode_fn, coords, R, n_samples, box_warp
+                plane_axes, planes, decode_fn, coords, R, n_samples, box_warp,
+                packed_corners=packed_corners,
             )
         else:
             rgb, sigma = run_model(
-                plane_axes, planes, decode_fn, coords, box_warp, tdepth
+                plane_axes, planes, decode_fn, coords, box_warp, tdepth,
+                packed_corners=packed_corners,
             )
         sigma = _apply_density_filters(
             sigma, coords, box_warp, triplane_crop, cull_clouds, binarize_clouds
@@ -955,6 +1066,12 @@ def render(
             # narrow SCATTER, and TPU scatters lower worse than the
             # argsort+row-gather they replace), so it stays off
             presorted=False,
+            # all-gather merge (no argsort, no scatter) — requires both
+            # halves depth-sorted, true exactly when key=None (eval:
+            # deterministic midpoints + monotone inverse-CDF importance)
+            gathers_only=(
+                options.get("merge_gathers_only", False) and k_imp is None
+            ),
         )
         return RenderOutput(
             rgb=rgb_final[..., :-3],

@@ -147,6 +147,73 @@ def grid_sample_2d_points_packed(packed, points, align_corners=False):
     return out.reshape(Np, P, C)
 
 
+def grid_sample_2d_points_packed_scaled(packed, points, n_planes,
+                                        scale=1.0, align_corners=False):
+    """Packed gather, SAMPLE-major, corner weights pre-multiplied.
+
+    Input as grid_sample_2d_points_packed, but the batch axis is treated as
+    ``n_groups * n_planes`` plane-major plane stacks and the output is the
+    raw 4C-lane rows of all planes of one sample laid out contiguously,
+    each 32-lane corner block already multiplied by its bilinear weight
+    (and ``scale``):
+
+        out [n_groups, P, n_planes*4C],  out[..., (p*4+c)*C:(p*4+c+1)*C]
+            = w_c(point, plane p) * scale * corner_c row of plane p
+
+    Purpose: the corner lerp, the decoder's plane mean (fold 1/n_planes
+    into ``scale``) and its first linear layer collapse into ONE MXU dot —
+    ``out @ tile(W, (4*n_planes, 1))`` — so the lane-wasted [M, C]
+    intermediate (C=32 occupies a quarter of a 128-lane vreg) is never
+    written. Zeros padding-mode semantics (weights masked outside).
+    """
+    NP, Hp1, Wp1, C4 = packed.shape
+    N = NP // n_planes
+    H, W, C = Hp1 - 1, Wp1 - 1, C4 // 4
+    P = points.shape[1]
+    dtype = packed.dtype
+    flat = packed.reshape(NP * Hp1 * Wp1, C4)
+
+    ix0, iy0, wx1, wy1 = _bilinear_setup(
+        points[..., 0], points[..., 1], H, W, align_corners
+    )
+    inb = (ix0 >= -1) & (ix0 <= W - 1) & (iy0 >= -1) & (iy0 <= H - 1)
+    bx = jnp.clip(ix0, -1, W - 1) + 1
+    by = jnp.clip(iy0, -1, H - 1) + 1
+    base = (jnp.arange(NP, dtype=jnp.int32) * (Hp1 * Wp1))[:, None]
+    lin = base + by * Wp1 + bx                      # [NP, P] plane-major
+    # sample-major interleave (n, point, plane): the gathered block is then
+    # a contiguous [N, P, n_planes*4C] view — no relayout of the wide rows
+    lin = lin.reshape(N, n_planes, P).transpose(0, 2, 1)
+    rows = jnp.take(flat, lin.reshape(-1), axis=0)  # [N*P*n_planes, 4C]
+    rows = rows.reshape(N, P, n_planes * C4)
+
+    mask = inb.astype(jnp.float32) * scale
+    wx1f = wx1 * mask
+    wx0f = (1 - wx1) * mask
+    corner_w = [
+        (wx0f * (1 - wy1)), (wx1f * (1 - wy1)), (wx0f * wy1), (wx1f * wy1),
+    ]
+    # [NP, P] -> [N, P, n_planes]; per-(sample, plane) scalars broadcast
+    # free along the 32 corner lanes in the multiply below
+    corner_w = [
+        w.reshape(N, n_planes, P).transpose(0, 2, 1).astype(dtype)
+        for w in corner_w
+    ]
+    # 32-lane-aligned slice multiplies (NOT a (..., 4, C) reshape — see
+    # grid_sample_2d_points_packed); the concatenate is layout-only and
+    # fuses with its elementwise producers
+    scaled = jnp.concatenate(
+        [
+            rows[:, :, (p * 4 + c) * C:(p * 4 + c + 1) * C]
+            * corner_w[c][:, :, p:p + 1]
+            for p in range(n_planes)
+            for c in range(4)
+        ],
+        axis=-1,
+    )
+    return scaled                                   # [N, P, n_planes*4C]
+
+
 def grid_sample_2d_points_packed_border(packed, points, align_corners=False):
     """Border-padding sampling of a pack_bilinear_2d output -> [N,P,C].
 

@@ -271,3 +271,125 @@ def test_merge_composite_matches_unify_plus_ray_march(flat_take):
             np.asarray(got_wsum), np.asarray(jnp.sum(want_w, axis=2)),
             rtol=1e-5, atol=1e-5,
         )
+
+
+@pytest.mark.fast
+def test_merge_composite_gathers_only_bit_identical():
+    """gathers_only (cross-count merge, sorted pack via two half-gathers,
+    coefficient pullback via rank gather — no argsort, no scatter) is a
+    pure re-derivation of the same permutation: output must be BIT-equal
+    to the argsort path, including duplicate-depth tie handling."""
+    B, R, S1, S2, C = 2, 8, 6, 5, 7
+    d1n = np.sort(RNG.rand(B, R, S1, 1), axis=2).astype(np.float32)
+    d2n = np.sort(RNG.rand(B, R, S2, 1), axis=2).astype(np.float32)
+    # inject exact ties: across halves and within a half
+    d2n[:, :, 2] = d1n[:, :, 3]
+    d1n[:, :, 1] = d1n[:, :, 2]
+    d1 = jnp.asarray(np.sort(d1n, axis=2))
+    d2 = jnp.asarray(np.sort(d2n, axis=2))
+    c1 = jnp.asarray(RNG.rand(B, R, S1, C).astype(np.float32))
+    c2 = jnp.asarray(RNG.rand(B, R, S2, C).astype(np.float32))
+    s1 = jnp.asarray(RNG.randn(B, R, S1, 1).astype(np.float32) * 3)
+    s2 = jnp.asarray(RNG.randn(B, R, S2, 1).astype(np.float32) * 3)
+    x1 = jnp.asarray(RNG.randn(B, R, S1, 3).astype(np.float32))
+    x2 = jnp.asarray(RNG.randn(B, R, S2, 3).astype(np.float32))
+
+    for white_back in (False, True):
+        want = vr.merge_composite(
+            d1, c1, s1, x1, d2, c2, s2, x2, white_back=white_back,
+        )
+        got = vr.merge_composite(
+            d1, c1, s1, x1, d2, c2, s2, x2, white_back=white_back,
+            gathers_only=True,
+        )
+        for a, b in zip(got, want):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.fast
+def test_packed_corners_fused_decode_matches_mean_path():
+    """run_model(packed_corners=True) — lerp + plane mean + net0 as ONE
+    tiled MXU dot (sample_from_planes_packed_scaled) — must agree with the
+    standard packed bf16 path up to bf16 reassociation, and sit no farther
+    from the exact fp32 path than that path's own bf16 noise."""
+    from panic3d_tpu.models.triplane import OSGDecoder
+
+    N, C, H, W, M = 2, 32, 33, 33, 517
+    axes = vr.generate_plane_axes(False)
+    planes = RNG.randn(N, 3, C, H, W).astype(np.float32)
+    # spread coords past the box so out-of-bounds masking is exercised
+    coords = jnp.asarray(((RNG.rand(N, M, 3) - 0.5) * 0.9).astype(np.float32))
+    bw = 0.7
+
+    dec = OSGDecoder(n_features=C)
+    feats0 = vr.sample_from_planes(axes, jnp.asarray(planes), coords, bw)
+    params = dec.init(jax.random.PRNGKey(3), feats0)
+    decode_fn = lambda feats, **kw: dec.apply(params, feats, **kw)
+
+    rgb_f32, sig_f32 = vr.run_model(
+        axes, jnp.asarray(planes), decode_fn, coords, bw
+    )
+    packed = vr.pack_planes(jnp.asarray(planes).astype(jnp.bfloat16))
+    rgb_mean, sig_mean = vr.run_model(axes, packed, decode_fn, coords, bw)
+    rgb_fuse, sig_fuse = vr.run_model(
+        axes, packed, decode_fn, coords, bw, packed_corners=True
+    )
+
+    assert rgb_fuse.shape == rgb_mean.shape and sig_fuse.shape == sig_mean.shape
+    # both bf16 paths should sit at comparable distance from the f32 truth
+    def dist(a, b):
+        return float(jnp.abs(jnp.asarray(a, jnp.float32) - b).max())
+
+    d_mean = dist(rgb_mean, rgb_f32) + dist(sig_mean, sig_f32)
+    d_fuse = dist(rgb_fuse, rgb_f32) + dist(sig_fuse, sig_f32)
+    assert d_fuse <= 2.0 * d_mean + 1e-2, (d_fuse, d_mean)
+    # and directly close to each other (bf16-level reassociation only)
+    np.testing.assert_allclose(
+        np.asarray(rgb_fuse, np.float32), np.asarray(rgb_mean, np.float32),
+        atol=0.05,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sig_fuse, np.float32), np.asarray(sig_mean, np.float32),
+        atol=0.2,
+    )
+
+
+@pytest.mark.fast
+def test_packed_corners_z_aligned_matches_generic():
+    """The z-aligned fused path (plane-0 rows broadcast per ray, per-plane
+    scaled blocks concatenated) equals generic packed_corners run_model on
+    z-aligned coordinates."""
+    from panic3d_tpu.models.triplane import OSGDecoder
+
+    N, C, H, W = 2, 32, 17, 17
+    R, S = 37, 5
+    axes = vr.generate_plane_axes(False)
+    planes = RNG.randn(N, 3, C, H, W).astype(np.float32)
+    bw = 0.7
+    xy = (RNG.rand(N, R, 2) - 0.5) * 0.8
+    z = np.sort((RNG.rand(N, R, S) - 0.5) * 0.8, axis=-1)
+    coords = np.concatenate(
+        [np.repeat(xy[:, :, None, :], S, axis=2), z[..., None]], axis=-1
+    ).reshape(N, R * S, 3).astype(np.float32)
+    coords = jnp.asarray(coords)
+
+    dec = OSGDecoder(n_features=C)
+    feats0 = vr.sample_from_planes(axes, jnp.asarray(planes), coords, bw)
+    params = dec.init(jax.random.PRNGKey(5), feats0)
+    decode_fn = lambda feats, **kw: dec.apply(params, feats, **kw)
+
+    packed = vr.pack_planes(jnp.asarray(planes).astype(jnp.bfloat16))
+    rgb_g, sig_g = vr.run_model(
+        axes, packed, decode_fn, coords, bw, packed_corners=True
+    )
+    rgb_z, sig_z = vr.run_model_z_aligned(
+        axes, packed, decode_fn, coords, R, S, bw, packed_corners=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(rgb_z, np.float32), np.asarray(rgb_g, np.float32),
+        atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(sig_z, np.float32), np.asarray(sig_g, np.float32),
+        atol=1e-1,
+    )
