@@ -76,12 +76,19 @@ def main():
     # configs.flagship and tests/test_ess.py). BENCH_ESS=0 selects the
     # reference's uniform 96+96 quadrature for apples-to-apples runs.
     ess = os.environ.get("BENCH_ESS", "1") == "1"
-    # BENCH_PACKED_CORNERS=0 reverts the fused corner-dot decode (lerp +
-    # plane mean + decoder first layer in one MXU dot) to the standard
-    # gather->lerp->mean->dot order, for on-chip A/B runs
+    # BENCH_PACKED_CORNERS=1 enables the fused corner-dot decode (lerp +
+    # plane mean + decoder first layer in one MXU dot) — measured SLOWER
+    # than the default gather->lerp->mean->dot order (r5 A/B: paste-on
+    # 21.8 vs 24.2 views/s; the 12x-tiled kernel outweighs the saved
+    # layout copies), kept for A/B reproduction
     rk_over = {}
-    if os.environ.get("BENCH_PACKED_CORNERS", "1") == "0":
-        rk_over["decoder_packed_corners"] = False
+    if os.environ.get("BENCH_PACKED_CORNERS", "0") == "1":
+        rk_over["decoder_packed_corners"] = True
+    # BENCH_MERGE_GATHERS=1 swaps the eval composite's argsort merge for
+    # the all-gather cross-count merge (bit-identical on sorted halves,
+    # tests/test_renderer.py::test_merge_composite_gathers_only_bit_identical)
+    if os.environ.get("BENCH_MERGE_GATHERS", "0") == "1":
+        rk_over["merge_gathers_only"] = True
     g = configs.flagship(eval_mode=True, ess=ess, rendering_kwargs=rk_over)
     xin = _flagship_inputs(g, bs=bs)
     # spread over turntable azimuths like eval.generate's spin12

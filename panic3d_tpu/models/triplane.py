@@ -343,12 +343,14 @@ class TriPlaneGenerator(nn.Module):
         decode_fn = lambda feats, **kw: self.decoder(
             feats, force_sigmoid=self.force_sigmoid, **kw
         )
-        # OSGDecoder is linear up to net0's input, so the renderer may fuse
+        # OSGDecoder is linear up to net0's input, so the renderer CAN fuse
         # lerp + plane mean + net0 into one MXU dot on the bf16 packed path
-        # (render() gates on packed bf16 planes; fp32 parity runs unaffected;
-        # rendering_kwargs['decoder_packed_corners']=False opts out)
-        if "decoder_packed_corners" not in rk:
-            rk = dict(rk, decoder_packed_corners=True)
+        # (rendering_kwargs['decoder_packed_corners']=True; render() gates
+        # on packed bf16 planes, fp32 parity runs unaffected). Measured
+        # SLOWER on-chip (r5 A/B, BENCH_PACKED_CORNERS: paste-on 21.8 vs
+        # 24.2 views/s) — the (4*n_planes)-tiled kernel does 12x net0's
+        # MXU work, which outweighs the saved [M,C] layout copies — so the
+        # default stays the standard gather->lerp->mean->dot order.
         if rk.get("ess"):
             # empty-space-skipping occupancy depends only on the planes:
             # compute once and share across every render of these planes
